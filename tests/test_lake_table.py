@@ -1,0 +1,154 @@
+"""LakeTable: snapshot commits, COW merge, LWW, tombstones, evolution, time travel."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType, IntegerType, StringType, StructField, StructType, TimestampType,
+)
+
+from datax_3_0_0_src_spark.lake import LakeTable
+
+TS = lambda s: dt.datetime.fromisoformat(s)  # noqa: E731
+
+PAGES_SCHEMA = StructType([
+    StructField("url", StringType()),
+    StructField("warc_ts", TimestampType()),
+    StructField("html", BinaryType()),
+    StructField("text", StringType()),
+    StructField("lang", StringType()),
+])
+
+BATCH_SCHEMA = StructType(
+    PAGES_SCHEMA.fields
+    + [StructField("log_offset", IntegerType()), StructField("op", StringType())]
+)
+
+
+def make_table(spark, path, nb=4):
+    return LakeTable.create(
+        spark, path, PAGES_SCHEMA, key="url", ts_col="warc_ts", num_buckets=nb
+    )
+
+
+def batch(spark, rows):
+    return spark.createDataFrame(
+        [
+            (u, TS(t), (h or "").encode() or None, x, lg, off, op)
+            for (u, t, h, x, lg, off, op) in rows
+        ],
+        BATCH_SCHEMA,
+    )
+
+
+def state(table, **kw):
+    return {
+        r["url"]: (r["warc_ts"], r["text"])
+        for r in table.read(**kw).collect()
+    }
+
+
+def test_create_and_empty_read(spark, tmp_table_dir):
+    t = make_table(spark, tmp_table_dir)
+    assert t.read().count() == 0
+    assert t.schema().fieldNames() == ["url", "warc_ts", "html", "text", "lang"]
+    with pytest.raises(FileExistsError):
+        make_table(spark, tmp_table_dir)
+
+
+def test_insert_update_delete_lww(spark, tmp_table_dir):
+    t = make_table(spark, tmp_table_dir)
+    t.merge(batch(spark, [
+        ("a", "2024-01-01T00:00:00", "<x>", "A1", "en", 0, "I"),
+        ("b", "2024-01-01T00:00:01", "<x>", "B1", "en", 1, "I"),
+    ]))
+    assert state(t) == {"a": (TS("2024-01-01T00:00:00"), "A1"),
+                        "b": (TS("2024-01-01T00:00:01"), "B1")}
+
+    # update a, delete b, insert c
+    t.merge(batch(spark, [
+        ("a", "2024-01-01T00:01:00", "<x>", "A2", "en", 2, "U"),
+        ("b", "2024-01-01T00:01:01", None, None, None, 3, "D"),
+        ("c", "2024-01-01T00:01:02", "<x>", "C1", "de", 4, "I"),
+    ]))
+    assert state(t) == {"a": (TS("2024-01-01T00:01:00"), "A2"),
+                        "c": (TS("2024-01-01T00:01:02"), "C1")}
+    # tombstone visible when asked
+    assert "b" in {r["url"] for r in t.read(include_deleted=True).collect()}
+
+
+def test_out_of_order_event_loses(spark, tmp_table_dir):
+    t = make_table(spark, tmp_table_dir)
+    t.merge(batch(spark, [("a", "2024-01-01T00:10:00", "<x>", "NEW", "en", 0, "I")]))
+    # older ts arrives later (higher offset) -> must NOT win
+    t.merge(batch(spark, [("a", "2024-01-01T00:05:00", "<x>", "OLD", "en", 1, "U")]))
+    assert state(t)["a"][1] == "NEW"
+    # equal ts, higher offset -> wins
+    t.merge(batch(spark, [("a", "2024-01-01T00:10:00", "<x>", "TIE", "en", 2, "U")]))
+    assert state(t)["a"][1] == "TIE"
+
+
+def test_delete_tombstone_blocks_older_resurrection(spark, tmp_table_dir):
+    t = make_table(spark, tmp_table_dir)
+    t.merge(batch(spark, [("a", "2024-01-01T00:10:00", None, None, None, 0, "D")]))
+    # an older upsert arriving after the delete must stay dead
+    t.merge(batch(spark, [("a", "2024-01-01T00:05:00", "<x>", "OLD", "en", 1, "U")]))
+    assert state(t) == {}
+    # a NEWER upsert revives the row
+    t.merge(batch(spark, [("a", "2024-01-01T00:20:00", "<x>", "NEW", "en", 2, "U")]))
+    assert state(t)["a"][1] == "NEW"
+
+
+def test_cow_touches_only_dirty_buckets(spark, tmp_table_dir):
+    t = make_table(spark, tmp_table_dir, nb=8)
+    rows = [(f"u{i}", f"2024-01-01T00:00:{i:02d}", "<x>", f"T{i}", "en", i, "I")
+            for i in range(32)]
+    t.merge(batch(spark, rows))
+    files_v1 = dict(t.snapshot().files)
+    stats = t.merge(batch(spark, [("u0", "2024-01-02T00:00:00", "<x>", "T0b", "en", 99, "U")]))
+    assert stats.touched_buckets == 1
+    files_v2 = dict(t.snapshot().files)
+    changed = [b for b in files_v1 if files_v1[b] != files_v2.get(b)]
+    assert len(changed) == 1  # 7 of 8 buckets' files reused verbatim
+
+
+def test_schema_evolution_additive_null_backfill(spark, tmp_table_dir):
+    t = make_table(spark, tmp_table_dir)
+    t.merge(batch(spark, [("a", "2024-01-01T00:00:00", "<x>", "A1", "en", 0, "I")]))
+    evolved = batch(
+        spark, [("b", "2024-01-01T00:00:01", "<x>", "B1", "en", 1, "I")]
+    ).withColumn("fetch_status", F.lit(200))
+    t.merge(evolved)
+    df = t.read()
+    assert df.schema.fieldNames() == ["url", "warc_ts", "html", "text", "lang", "fetch_status"]
+    got = {r["url"]: r["fetch_status"] for r in df.collect()}
+    assert got == {"a": None, "b": 200}  # old row null-backfilled
+
+
+def test_time_travel_and_expire(spark, tmp_table_dir):
+    t = make_table(spark, tmp_table_dir)
+    t.merge(batch(spark, [("a", "2024-01-01T00:00:00", "<x>", "V1", "en", 0, "I")]))
+    t.merge(batch(spark, [("a", "2024-01-01T00:01:00", "<x>", "V2", "en", 1, "U")]))
+    assert state(t, version=1)["a"][1] == "V1"
+    assert state(t, version=2)["a"][1] == "V2"
+    removed = t.expire_snapshots(keep_last=1)
+    assert removed >= 1
+    assert state(t)["a"][1] == "V2"  # current still intact
+
+
+def test_merge_properties_carry_epoch(spark, tmp_table_dir):
+    t = make_table(spark, tmp_table_dir)
+    t.merge(batch(spark, [("a", "2024-01-01T00:00:00", "<x>", "A", "en", 0, "I")]),
+            properties={"checkpoint_epoch": 0, "end_offset": 1})
+    assert t.property("checkpoint_epoch") == 0
+    assert t.property("end_offset") == 1
+
+
+def test_empty_batch_commits_metadata_snapshot(spark, tmp_table_dir):
+    t = make_table(spark, tmp_table_dir)
+    stats = t.merge(batch(spark, []), properties={"checkpoint_epoch": 0})
+    assert stats.version == 1 and stats.batch_rows == 0
+    assert t.read().count() == 0
