@@ -1,0 +1,347 @@
+"""The CDC replay engine: driver-planned micro-batch epochs -> lake MERGE.
+
+This is the Spark re-expression of DataX's job lifecycle spine
+(JobContainer.start: preHandle -> init -> prepare -> split -> schedule -> post,
+core/src/main/java/com/alibaba/datax/core/job/JobContainer.java:100-202):
+
+- split/schedule      => driver-planned epoch + sub-batch ranges over the WAL
+                         (reader.split, common/.../spi/Reader.java:46)
+- channel rate limits => ``max_events_per_batch`` caps each micro-batch
+                         (Channel.statPush flow control, core/.../transport/channel/Channel.java:362-435)
+- dirty collector     => quarantine parquet table (epoch-partitioned, idempotent)
+- Communication stats => lineage/metrics table keyed (partition_id, checkpoint_epoch)
+                         (core/.../statistics/communication/CommunicationTool.java:16-111)
+- OTS shard ckpts     => per-batch checkpoint JSON + snapshot properties;
+                         resume + reconcile mirrors OTSStreamReaderSlaveProxy.java:40-107
+- task failover       => idempotent MERGE + committed-epoch guard: re-running
+                         any batch is a no-op (TaskGroupContainer failover,
+                         core/.../taskgroup/TaskGroupContainer.java:402-429)
+
+Exactly-once protocol (the hard part, SURVEY §7.3):
+  1. MERGE commits a lake snapshot whose properties embed (batch_id, end_offset).
+  2. A checkpoint JSON for batch_id is then written atomically.
+  3. On restart: batches <= the MAX of (last checkpoint, table's last committed
+     batch) are skipped; a crash between 1 and 2 is healed by re-deriving the
+     checkpoint from the snapshot properties (commit reconcile). MERGE itself is
+     LWW-idempotent, so even a torn re-run converges to the same state.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.types import StructType
+
+from ..lake.manifest import _atomic_write
+from ..lake.table import SYS_BUCKET, LakeTable
+from .dedup import dedup_lww
+from .extract import with_extracted_text
+from .quarantine import check_error_limits, split_quarantine
+
+PAGES_DDL = "url string, warc_ts timestamp, html binary, text string, lang string"
+
+
+@dataclass
+class ReplayConfig:
+    log_dir: str                      # WAL: parquet segments partitioned by epoch
+    table_path: str                   # target LakeTable (created if missing)
+    work_dir: str                     # checkpoints/, quarantine/, metrics/
+    num_buckets: int = 16
+    max_events_per_batch: int | None = None  # rate cap: split epochs into sub-batches
+    salt_partitions: int | None = None       # two-phase dedup for hot keys
+    error_record_limit: int | None = None
+    error_percentage_limit: float | None = 0.05
+    key: str = "url"
+    ts_col: str = "warc_ts"
+    seq_col: str = "log_offset"
+    op_col: str = "op"
+    extra_table_props: dict = field(default_factory=dict)
+
+    @property
+    def checkpoint_dir(self) -> str:
+        return os.path.join(self.work_dir, "checkpoints")
+
+    @property
+    def quarantine_dir(self) -> str:
+        return os.path.join(self.work_dir, "quarantine")
+
+    @property
+    def metrics_dir(self) -> str:
+        return os.path.join(self.work_dir, "metrics")
+
+
+@dataclass
+class BatchResult:
+    batch_id: int
+    epoch: int
+    sub: int
+    events_read: int
+    events_quarantined: int
+    events_deduped: int
+    events_applied: int
+    snapshot_version: int
+    duration_s: float
+
+
+class Replayer:
+    def __init__(self, spark: SparkSession, cfg: ReplayConfig):
+        self.spark = spark
+        self.cfg = cfg
+        if LakeTable.exists(cfg.table_path):
+            self.table = LakeTable.load(spark, cfg.table_path)
+        else:
+            self.table = LakeTable.create(
+                spark,
+                cfg.table_path,
+                StructType.fromDDL(PAGES_DDL),
+                key=cfg.key,
+                ts_col=cfg.ts_col,
+                num_buckets=cfg.num_buckets,
+                properties=dict(cfg.extra_table_props),
+            )
+
+    # ------------------------------------------------------------- planning
+    def log_epochs(self) -> list[int]:
+        """Epochs present in the WAL (directory listing — metadata only)."""
+        if not os.path.isdir(self.cfg.log_dir):
+            return []
+        out = []
+        for d in os.listdir(self.cfg.log_dir):
+            m = re.fullmatch(r"epoch=(\d+)", d)
+            if m:
+                out.append(int(m.group(1)))
+        return sorted(out)
+
+    def plan_batches(self) -> list[tuple[int, int, int]]:
+        """(batch_id, epoch, sub) for every micro-batch in the WAL.
+
+        An epoch is one WAL segment; the rate cap splits it into sub-batches
+        (driver-planned, like reader.split producing task slices).
+        """
+        cap = self.cfg.max_events_per_batch
+        plan: list[tuple[int, int, int]] = []
+        bid = 0
+        for e in self.log_epochs():
+            subs = 1
+            if cap:
+                n = self._epoch_count(e)
+                subs = max(1, -(-n // cap))
+            for s in range(subs):
+                plan.append((bid, e, s))
+                bid += 1
+        return plan
+
+    def _epoch_path(self, epoch: int) -> str:
+        return os.path.join(self.cfg.log_dir, f"epoch={epoch}")
+
+    def _epoch_count(self, epoch: int) -> int:
+        # parquet footer count — metadata-only scan
+        return self.spark.read.parquet(self._epoch_path(epoch)).count()
+
+    def read_epoch(self, epoch: int) -> DataFrame:
+        """One WAL segment; its files' own schema (=> additive evolution
+        surfaces naturally when later segments carry new columns)."""
+        return self.spark.read.parquet(self._epoch_path(epoch)).withColumn(
+            "epoch", F.lit(epoch)
+        )
+
+    # ---------------------------------------------------------- checkpoints
+    def _ckpt_path(self, batch_id: int) -> str:
+        return os.path.join(self.cfg.checkpoint_dir, f"batch-{batch_id:08d}.json")
+
+    def _write_checkpoint(self, res: BatchResult) -> None:
+        _atomic_write(
+            self._ckpt_path(res.batch_id),
+            json.dumps(
+                {
+                    "batch_id": res.batch_id,
+                    "epoch": res.epoch,
+                    "sub": res.sub,
+                    "snapshot_version": res.snapshot_version,
+                    "events_applied": res.events_applied,
+                    "status": "committed",
+                },
+                sort_keys=True,
+            ),
+            exclusive=False,
+        )
+
+    def last_committed_batch(self) -> int:
+        """MAX(checkpoint files, table snapshot property) — heals a crash
+        between snapshot commit and checkpoint write (commit reconcile)."""
+        from_ckpt = -1
+        d = self.cfg.checkpoint_dir
+        if os.path.isdir(d):
+            ids = [
+                int(m.group(1))
+                for f in os.listdir(d)
+                if (m := re.fullmatch(r"batch-(\d+)\.json", f))
+            ]
+            if ids:
+                from_ckpt = max(ids)
+        from_table = self.table.property("last_batch_id", -1)
+        if from_table > from_ckpt:
+            # reconcile: snapshot committed but checkpoint lost — rewrite it
+            snap = self.table.snapshot()
+            self._write_checkpoint(
+                BatchResult(
+                    batch_id=from_table,
+                    epoch=snap.properties.get("last_epoch", -1),
+                    sub=snap.properties.get("last_sub", 0),
+                    events_read=0, events_quarantined=0, events_deduped=0,
+                    events_applied=0, snapshot_version=snap.version, duration_s=0.0,
+                )
+            )
+        return max(from_ckpt, from_table)
+
+    # -------------------------------------------------------------- running
+    def run(self, *, stop_after_batches: int | None = None) -> list[BatchResult]:
+        """Replay all uncommitted micro-batches. Safe to re-run / resume."""
+        done = self.last_committed_batch()
+        results: list[BatchResult] = []
+        for batch_id, epoch, sub in self.plan_batches():
+            if batch_id <= done:
+                continue  # committed-epoch guard: exactly-once on re-run
+            results.append(self._run_batch(batch_id, epoch, sub))
+            if stop_after_batches is not None and len(results) >= stop_after_batches:
+                break
+        return results
+
+    def _run_batch(self, batch_id: int, epoch: int, sub: int) -> BatchResult:
+        cfg = self.cfg
+        t0 = time.monotonic()
+        ev = self.read_epoch(epoch)
+        if cfg.max_events_per_batch:
+            # rate cap: offset-range slice (predicate pushed to parquet scan)
+            lo = self.spark.read.parquet(self._epoch_path(epoch)).agg(
+                F.min(cfg.seq_col)
+            ).collect()[0][0]
+            start = lo + sub * cfg.max_events_per_batch
+            end = start + cfg.max_events_per_batch
+            ev = ev.filter((F.col(cfg.seq_col) >= start) & (F.col(cfg.seq_col) < end))
+
+        bucket = F.when(
+            F.col(cfg.key).isNull(), F.lit(-1)
+        ).otherwise(F.pmod(F.xxhash64(F.col(cfg.key)), F.lit(cfg.num_buckets)).cast("int"))
+        ev = ev.withColumn(SYS_BUCKET, bucket)
+        ev.persist()
+        try:
+            clean, dirty = split_quarantine(ev, op_col=cfg.op_col)
+
+            # ---- quarantine (idempotent: fixed path per batch, overwrite) --
+            qpath = os.path.join(cfg.quarantine_dir, f"batch={batch_id}")
+            (dirty.select(
+                F.col(cfg.seq_col).alias("log_offset"),
+                F.lit(epoch).alias("epoch"),
+                F.col(cfg.key).alias("url"),
+                "reason",
+                F.col("html").alias("raw_payload"),
+            ).write.mode("overwrite").parquet(qpath))
+
+            # ---- per-partition read/dirty counts (one small agg) ----------
+            stat = (
+                ev.groupBy(SYS_BUCKET)
+                .agg(
+                    F.count(F.lit(1)).alias("events_read"),
+                    F.sum(
+                        F.when(F.col(cfg.key).isNull()
+                               | F.col(cfg.ts_col).isNull(), 1).otherwise(0)
+                    ).alias("_n_dirty_keyless"),
+                    F.sum(F.octet_length("html")).alias("bytes_in"),
+                )
+                .collect()
+            )
+            events_read = sum(r["events_read"] for r in stat)
+            dirty_count = dirty.count()
+            check_error_limits(
+                dirty_count, events_read,
+                record_limit=cfg.error_record_limit,
+                percentage_limit=cfg.error_percentage_limit,
+            )
+
+            # ---- LWW dedup -> extract text -> MERGE ------------------------
+            winners = dedup_lww(
+                clean, key=cfg.key, ts_col=cfg.ts_col, seq_col=cfg.seq_col,
+                salt_partitions=cfg.salt_partitions,
+            )
+            is_del = F.col(cfg.op_col) == F.lit("D")
+            winners = with_extracted_text(
+                winners.withColumn("html", F.when(is_del, None).otherwise(F.col("html")))
+            ).drop(SYS_BUCKET, "epoch")
+            winners.persist()
+            applied = winners.count()
+
+            stats = self.table.merge(
+                winners,
+                seq_col=cfg.seq_col,
+                op_col=cfg.op_col,
+                properties={
+                    "last_batch_id": batch_id,
+                    "last_epoch": epoch,
+                    "last_sub": sub,
+                    "end_offset_exclusive": None,
+                },
+            )
+
+            # ---- lineage/metrics keyed (partition_id, checkpoint_epoch) ---
+            dur_ms = int((time.monotonic() - t0) * 1000)
+            applied_per_bucket = {
+                r[SYS_BUCKET]: r["n"]
+                for r in clean.groupBy(SYS_BUCKET).agg(F.count(F.lit(1)).alias("n")).collect()
+            }
+            win_per_bucket = {
+                r["b"]: r["n"]
+                for r in winners.groupBy(
+                    F.pmod(F.xxhash64(F.col(cfg.key)), F.lit(cfg.num_buckets))
+                    .cast("int").alias("b")
+                ).agg(F.count(F.lit(1)).alias("n")).collect()
+            }
+            dirty_per_bucket = {
+                r[SYS_BUCKET]: r["n"]
+                for r in dirty.groupBy(SYS_BUCKET).agg(F.count(F.lit(1)).alias("n")).collect()
+            }
+            bytes_per_bucket = {r[SYS_BUCKET]: r["bytes_in"] or 0 for r in stat}
+            rows = []
+            for b in sorted({*applied_per_bucket, *dirty_per_bucket} - {None}):
+                read_n = next((r["events_read"] for r in stat if r[SYS_BUCKET] == b), 0)
+                wins = win_per_bucket.get(b, 0)
+                rows.append((
+                    int(b), batch_id, epoch, int(read_n),
+                    int(win_per_bucket.get(b, 0)),
+                    int(applied_per_bucket.get(b, 0) - wins),
+                    int(dirty_per_bucket.get(b, 0)),
+                    int(bytes_per_bucket.get(b, 0)), dur_ms,
+                ))
+            mdf = self.spark.createDataFrame(
+                rows,
+                "partition_id int, checkpoint_epoch long, log_epoch int, "
+                "events_read long, events_applied long, events_deduped long, "
+                "events_quarantined long, bytes_in long, merge_duration_ms long",
+            )
+            mpath = os.path.join(cfg.metrics_dir, f"batch={batch_id}")
+            mdf.coalesce(1).write.mode("overwrite").parquet(mpath)
+
+            res = BatchResult(
+                batch_id=batch_id, epoch=epoch, sub=sub,
+                events_read=events_read, events_quarantined=dirty_count,
+                events_deduped=events_read - dirty_count - applied,
+                events_applied=applied, snapshot_version=stats.version,
+                duration_s=time.monotonic() - t0,
+            )
+            self._write_checkpoint(res)
+            winners.unpersist()
+            return res
+        finally:
+            ev.unpersist()
+
+    # ------------------------------------------------------------- reading
+    def metrics(self) -> DataFrame:
+        return self.spark.read.parquet(os.path.join(self.cfg.metrics_dir, "batch=*"))
+
+    def quarantine(self) -> DataFrame:
+        return self.spark.read.parquet(os.path.join(self.cfg.quarantine_dir, "batch=*"))

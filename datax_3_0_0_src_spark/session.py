@@ -50,4 +50,30 @@ def get_spark(
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    _ship_package(spark)
     return spark
+
+
+def _ship_package(spark: SparkSession) -> None:
+    """Ship this package to executors (the spark-submit --py-files equivalent).
+
+    Python workers deserialize our pandas_udfs by importing the package; on a
+    real cluster that is ``spark-submit --py-files pkg.zip``, and in local mode
+    the worker processes still need the zip when the driver script runs from
+    outside the repo. Zipped once per process, then ``addPyFile``.
+    """
+    import zipfile
+
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    root = os.path.dirname(pkg_dir)
+    zpath = os.path.join(
+        os.environ.get("TMPDIR", "/tmp"), f"datax_3_0_0_src_spark_{os.getpid()}.zip"
+    )
+    if not os.path.exists(zpath):
+        with zipfile.ZipFile(zpath, "w") as z:
+            for dirpath, _dirs, files in os.walk(pkg_dir):
+                for fn in files:
+                    if fn.endswith(".py"):
+                        full = os.path.join(dirpath, fn)
+                        z.write(full, os.path.relpath(full, root))
+    spark.sparkContext.addPyFile(zpath)

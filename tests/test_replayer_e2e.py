@@ -1,0 +1,134 @@
+"""End-to-end CDC replay vs the pandas oracle: clean run, resume, rate caps,
+salting, quarantine, error limits, schema evolution (FIXTURES.md §3)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from datax_3_0_0_src_spark.cdc.gen import EventGenConfig, write_event_log
+from datax_3_0_0_src_spark.cdc.oracle import expected_pages, validate_pd, gen_events_pdf
+from datax_3_0_0_src_spark.cdc.quarantine import ErrorLimitExceeded
+from datax_3_0_0_src_spark.cdc.replayer import ReplayConfig, Replayer
+
+CFG = EventGenConfig(seed=42, n_events=3_000, events_per_epoch=1_000)
+
+
+def engine_state(rep: Replayer) -> pd.DataFrame:
+    pdf = rep.table.read().toPandas().sort_values("url").reset_index(drop=True)
+    pdf["html"] = pdf["html"].map(lambda b: bytes(b) if b is not None else None)
+    pdf["warc_ts"] = pdf["warc_ts"].astype("datetime64[us]")
+    return pdf
+
+
+def assert_state_matches(rep: Replayer, gcfg: EventGenConfig):
+    got = engine_state(rep)
+    exp = expected_pages(gcfg)
+    exp["warc_ts"] = exp["warc_ts"].astype("datetime64[us]")
+    assert len(got) == len(exp), f"row count {len(got)} != {len(exp)}"
+    assert list(got["url"]) == list(exp["url"])
+    assert (got["warc_ts"].to_numpy() == exp["warc_ts"].to_numpy()).all()
+    # the byte-identical invariant: extracted text per url
+    assert list(got["text"]) == list(exp["text"])
+    assert list(got["lang"]) == list(exp["lang"])
+    assert list(got["html"]) == list(exp["html"])
+    if "fetch_status" in exp.columns:
+        assert "fetch_status" in got.columns
+        g = got["fetch_status"].astype("Int32").fillna(-1)
+        e = exp["fetch_status"].astype("Int32").fillna(-1)
+        assert list(g) == list(e)
+
+
+@pytest.fixture()
+def log_and_work(spark, tmp_path):
+    log_dir = str(tmp_path / "wal")
+    write_event_log(spark, CFG, log_dir, slices=4)
+    return log_dir, str(tmp_path / "work"), str(tmp_path / "pages")
+
+
+def make_replayer(spark, log_dir, work, table, **kw) -> Replayer:
+    return Replayer(spark, ReplayConfig(
+        log_dir=log_dir, table_path=table, work_dir=work, num_buckets=8, **kw))
+
+
+def test_clean_replay_matches_oracle(spark, log_and_work):
+    log_dir, work, table = log_and_work
+    rep = make_replayer(spark, log_dir, work, table)
+    results = rep.run()
+    assert [r.epoch for r in results] == [0, 1, 2]
+    assert_state_matches(rep, CFG)
+
+    # quarantine holds exactly the oracle's dirty events
+    ev = gen_events_pdf(CFG, np.arange(CFG.n_events))
+    n_dirty = int((~validate_pd(ev)).sum())
+    assert rep.quarantine().count() == n_dirty
+    assert sum(r.events_quarantined for r in results) == n_dirty
+
+    # lineage: per-(partition, epoch) metrics sum to totals
+    m = rep.metrics().toPandas()
+    assert m["events_read"].sum() == CFG.n_events
+    assert m["events_quarantined"].sum() == n_dirty
+    assert set(m.columns) >= {
+        "partition_id", "checkpoint_epoch", "events_read", "events_applied",
+        "events_deduped", "events_quarantined", "bytes_in", "merge_duration_ms",
+    }
+
+
+def test_resume_from_checkpoint_and_idempotent_rerun(spark, log_and_work):
+    log_dir, work, table = log_and_work
+    rep1 = make_replayer(spark, log_dir, work, table)
+    first = rep1.run(stop_after_batches=1)  # "kill" after epoch 0
+    assert len(first) == 1
+    v_after_kill = rep1.table.snapshot().version
+
+    # restart from checkpoints: must process only epochs 1..2
+    rep2 = make_replayer(spark, log_dir, work, table)
+    rest = rep2.run()
+    assert [r.epoch for r in rest] == [1, 2]
+    assert_state_matches(rep2, CFG)
+    final_version = rep2.table.snapshot().version
+    assert final_version > v_after_kill
+
+    # re-running a fully committed log is a no-op (no new snapshot)
+    rep3 = make_replayer(spark, log_dir, work, table)
+    assert rep3.run() == []
+    assert rep3.table.snapshot().version == final_version
+
+
+def test_rate_capped_microbatches_same_state(spark, log_and_work):
+    log_dir, work, table = log_and_work
+    rep = make_replayer(spark, log_dir, work, table, max_events_per_batch=400)
+    results = rep.run()
+    # 1000-event epochs with cap 400 => 3 sub-batches per epoch (channel speed cap)
+    assert len(results) == 9
+    assert max(r.events_read for r in results) <= 400
+    assert_state_matches(rep, CFG)
+
+
+def test_salted_dedup_same_state(spark, log_and_work):
+    log_dir, work, table = log_and_work
+    rep = make_replayer(spark, log_dir, work, table, salt_partitions=4)
+    rep.run()
+    assert_state_matches(rep, CFG)
+
+
+def test_error_limit_aborts(spark, log_and_work):
+    log_dir, work, table = log_and_work
+    rep = make_replayer(spark, log_dir, work, table,
+                        error_percentage_limit=0.0001)
+    with pytest.raises(ErrorLimitExceeded):
+        rep.run()
+
+
+def test_schema_evolution_mid_log(spark, tmp_path):
+    gcfg = EventGenConfig(seed=42, n_events=3_000, events_per_epoch=1_000, evo_epoch=2)
+    log_dir = str(tmp_path / "wal")
+    write_event_log(spark, gcfg, log_dir, slices=4)
+    rep = make_replayer(spark, log_dir, str(tmp_path / "work"), str(tmp_path / "pages"))
+    rep.run()
+    # fetch_status appears additively; pre-evolution winners null-backfilled
+    got = engine_state(rep)
+    assert "fetch_status" in got.columns
+    assert got["fetch_status"].isna().any() and got["fetch_status"].notna().any()
+    assert_state_matches(rep, gcfg)
