@@ -1,0 +1,176 @@
+"""Deduplication family for training-data pipelines.
+
+Exact (hash groupBy), n-gram Jaccard pairs, MinHash signatures + LSH banding,
+SimHash. Exact/Jaccard/MinHash/SimHash use cross-engine-reproducible integer
+arithmetic so DuckDB oracles verify them bit-for-bit; the LSH candidate
+pipeline composes them (rows-only checked).
+
+Scale notes: exact dedup is one shuffle on md5(text). Jaccard/LSH explode to
+(doc, shingle) rows — linear in corpus token count, shuffled on the shingle;
+frequent-shingle hot keys are capped (``max_shingle_df``) before the self-join,
+the standard trick to keep the candidate join from going quadratic at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from .textstats import FP_MOD, word_hash_expr
+
+# deterministic (a, b) parameters for the k minhash permutations
+MINHASH_AB = [(1_000_003, 12_345), (999_983, 54_321), (1_000_033, 98_765), (999_979, 13_579),
+              (1_000_037, 24_680), (999_961, 11_111), (1_000_039, 77_777), (999_959, 33_333)]
+
+
+def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Exact duplicate groups by md5(text): canonical id + dup count."""
+    return (
+        df.select(F.col(id_col), F.md5(F.col(text_col).cast("binary")).alias("text_md5"))
+        .groupBy("text_md5")
+        .agg(F.min(id_col).alias("canonical_id"), F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") >= 1)
+    )
+
+
+def shingles_expr(text_col: str, n: int):
+    """Word n-gram shingle strings (order-preserving)."""
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        ),
+    ).otherwise(F.array(F.concat_ws(" ", toks)))
+
+
+def doc_shingles(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    """(id, shingle) distinct pairs."""
+    return (
+        df.select(F.col(id_col).alias("_id"), shingles_expr(text_col, n).alias("_sh"))
+        .select("_id", F.explode(F.array_distinct(F.col("_sh"))).alias("shingle"))
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+    max_shingle_df: int | None = 1000,
+) -> DataFrame:
+    """Near-duplicate pairs with n-gram Jaccard >= threshold.
+
+    shingle-inverted-index self-join; hot shingles (appearing in more than
+    ``max_shingle_df`` docs) are dropped before the join — they carry almost no
+    discriminating signal and would otherwise create quadratic join blowup.
+    """
+    sh = doc_shingles(df, id_col, text_col, n)
+    if max_shingle_df:
+        hot = (
+            sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df_"))
+            .filter(F.col("df_") > max_shingle_df).select("shingle")
+        )
+        sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
+    sizes = sh.groupBy("_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    common = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a._id") < F.col("b._id")))
+        .groupBy(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("_id").alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("_id").alias("id_b"), F.col("n_sh").alias("n_b"))
+    out = (
+        common.join(sa, "id_a").join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")), 6),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "n_common", "jaccard")
+    )
+    return out
+
+
+def minhash_signatures(
+    df: DataFrame, *, id_col: str = "doc_id", text_col: str = "text", k: int = 4, shingle_n: int = 2
+) -> DataFrame:
+    """k MinHash values over word-shingle hashes (universal-hash permutations).
+
+    mh_i = min over shingles s of (a_i * H(s) + b_i) mod 1e9+7, with H the
+    cross-engine rolling hash — bit-reproducible in DuckDB SQL.
+    """
+    sh = shingles_expr(text_col, shingle_n)
+    hashed = F.transform(F.array_distinct(sh), word_hash_expr)
+    def perm(ai, bi):
+        # closure (not default args): pyspark infers HOF arity from the lambda
+        return lambda h: (h * ai + bi) % FP_MOD
+
+    cols = [F.col(id_col)]
+    for i in range(k):
+        ai, bi = MINHASH_AB[i]
+        cols.append(F.array_min(F.transform(hashed, perm(ai, bi))).alias(f"mh{i}"))
+    return df.select(*cols)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    bands: int = 4,
+    shingle_n: int = 2,
+    jaccard_threshold: float = 0.5,
+) -> DataFrame:
+    """MinHash + LSH banding near-dup detection (the 100 TB-scale path).
+
+    signatures -> band buckets -> candidate pairs within a bucket ->
+    verification by real n-gram Jaccard. Only candidates are verified, so the
+    expensive join is bounded by collision counts, not corpus size squared.
+    """
+    rows_per_band = k // bands
+    sig = minhash_signatures(df, id_col=id_col, text_col=text_col, k=k, shingle_n=shingle_n)
+    band_cols = []
+    for bnd in range(bands):
+        parts = [F.col(f"mh{bnd * rows_per_band + j}") for j in range(rows_per_band)]
+        band_cols.append(F.xxhash64(F.lit(bnd), *parts).alias(f"band{bnd}"))
+    banded = sig.select(F.col(id_col).alias("_id"), *band_cols)
+    buckets = banded.select(
+        "_id",
+        F.explode(F.array(*[F.col(f"band{bnd}") for bnd in range(bands)])).alias("bucket"),
+    )
+    a, b = buckets.alias("a"), buckets.alias("b")
+    cand = (
+        a.join(b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a._id") < F.col("b._id")))
+        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .distinct()
+    )
+    verified = ngram_jaccard_pairs(
+        df, id_col=id_col, text_col=text_col, n=shingle_n,
+        threshold=jaccard_threshold, max_shingle_df=None,
+    ).join(cand, ["id_a", "id_b"])
+    return verified
+
+
+def simhash(df: DataFrame, *, id_col: str = "doc_id", text_col: str = "text", bits: int = 16) -> DataFrame:
+    """SimHash over token hashes: bit b set iff sum over tokens of
+    (+1 if bit b of H(token) else -1) > 0. Cross-engine integer math."""
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    hashed = F.transform(toks, word_hash_expr)
+    def bit_sum(b):
+        return lambda acc, h: acc + F.when(
+            F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1
+        ).otherwise(-1)
+
+    bit_vals = []
+    for b in range(bits):
+        w = F.aggregate(hashed, F.lit(0).cast("long"), bit_sum(b))
+        bit_vals.append(F.when(w > 0, F.lit(2 ** b)).otherwise(F.lit(0)).cast("long"))
+    sim = bit_vals[0]
+    for bv in bit_vals[1:]:
+        sim = sim + bv
+    return df.select(F.col(id_col), sim.alias("simhash"))

@@ -1,0 +1,126 @@
+"""Similarity search over embedding columns (array<float>).
+
+Brute-force cosine top-k (exact baseline) and a deterministic
+random-hyperplane LSH bucketing (the scale path: candidates come from one
+shuffle on the bucket key instead of a full cross join).
+
+Float determinism: all dot products are computed in float64 with a
+left-to-right fold in BOTH engines (Spark ``aggregate`` over ``zip_with``;
+DuckDB ``list_dot_product`` on DOUBLE[]), similarities rounded before ranking
+so cross-engine rank order is stable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from .textstats import FP_MOD
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a):
+    return F.sqrt(_dot(a, a))
+
+
+def cosine_topk(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_ids: list[int] | None = None,
+    k: int = 5,
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector (broadcast join).
+
+    The query side is small by construction => broadcast hash join, one pass
+    over the corpus, no shuffle of the big side. Ranking uses the rounded
+    similarity with id tie-break so results are deterministic.
+    """
+    query_ids = query_ids or list(range(10))
+    q = df.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
+    )
+    c = df.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"))
+    pairs = c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
+    sim = F.round(_dot(F.col("_qv"), F.col("_cv")) / (_norm(F.col("_qv")) * _norm(F.col("_cv"))), 6)
+    scored = pairs.select("query_id", "neighbor_id", sim.alias("cosine_sim"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "cosine_sim")
+    )
+
+
+def hyperplane_lsh_buckets(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 8,
+    dim: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """Sign-of-projection LSH bucket per vector (deterministic planes).
+
+    Plane p's component j = ((seed-derived integer hash) mod 2001 - 1000)/1000
+    — reproducible anywhere, no RNG state. Vectors in the same bucket are
+    near-duplicate candidates; at scale the candidate join shuffles on
+    ``bucket`` only.
+    """
+    planes = []
+    for p in range(n_planes):
+        comps = []
+        for j in range(dim):
+            h = (((seed * 1_000_003 + p * 131 + j * 31) * 2_654_435_761) % FP_MOD) % 2001
+            comps.append((h - 1000) / 1000.0)
+        planes.append(comps)
+    bucket_bits = []
+    for p, comps in enumerate(planes):
+        plane = F.array(*[F.lit(c) for c in comps])
+        proj = _dot(F.col(vec_col), plane)
+        bucket_bits.append(F.when(proj > 0, F.lit(2 ** p)).otherwise(F.lit(0)).cast("long"))
+    bucket = bucket_bits[0]
+    for bb in bucket_bits[1:]:
+        bucket = bucket + bb
+    return df.select(F.col(id_col), bucket.alias("bucket"))
+
+
+def lsh_near_pairs(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 8,
+    dim: int = 64,
+    min_cosine: float = 0.9,
+) -> DataFrame:
+    """Candidate pairs from shared LSH bucket, verified by exact cosine."""
+    b = hyperplane_lsh_buckets(df, id_col=id_col, vec_col=vec_col, n_planes=n_planes, dim=dim)
+    v = df.select(F.col(id_col), F.col(vec_col))
+    withb = v.join(b, id_col)
+    a, c = withb.alias("a"), withb.alias("b")
+    pairs = a.join(
+        c,
+        (F.col("a.bucket") == F.col("b.bucket")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    )
+    sim = F.round(
+        _dot(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}"))
+        / (_norm(F.col(f"a.{vec_col}")) * _norm(F.col(f"b.{vec_col}"))),
+        6,
+    )
+    return (
+        pairs.select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            sim.alias("cosine_sim"),
+        )
+        .filter(F.col("cosine_sim") >= min_cosine)
+    )

@@ -1,0 +1,114 @@
+"""Text analysis operators for large-scale training-data pipelines.
+
+Token counting, quality scoring, language-ID (stopword heuristic), and
+document fingerprinting (polynomial rolling hash) — all pure Column
+expressions (JVM-side, whole-stage codegen; no Python in the hot path), each
+with an exact DuckDB-SQL oracle equivalent (integer/fold arithmetic chosen to
+be reproducible across engines).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+FP_MOD = 1_000_000_007
+
+# tiny per-language marker sets (deterministic heuristic, not a real model)
+LANG_MARKERS = {
+    "en": ["the", "and", "of", "to", "in"],
+    "de": ["der", "die", "und", "das", "nicht"],
+    "fr": ["le", "la", "et", "les", "des"],
+    "es": ["el", "los", "que", "de", "y"],
+}
+
+STOPWORDS = ["the", "a", "of", "to", "in", "and", "is", "on", "for", "it"]
+
+
+def _tokens(col: str = "text"):
+    return F.split(F.trim(F.col(col)), r"\s+")
+
+
+def token_stats(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Rows: id, n_tokens, n_chars, n_distinct_tokens, avg_token_len."""
+    toks = _tokens(text_col)
+    return df.select(
+        F.col(id_col),
+        F.size(toks).alias("n_tokens"),
+        F.length(F.col(text_col)).alias("n_chars"),
+        F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
+        F.round(
+            F.aggregate(toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t))
+            / F.size(toks),
+            6,
+        ).alias("avg_token_len"),
+    )
+
+
+def quality_score(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Length/stopword/distinctness heuristics -> a deterministic [0,1] score."""
+    toks = _tokens(text_col)
+    sw = F.array(*[F.lit(w) for w in STOPWORDS])
+    n = F.size(toks)
+    stop_ratio = F.size(F.filter(toks, lambda t: F.array_contains(sw, t))) / n
+    distinct_ratio = F.size(F.array_distinct(toks)) / n
+    len_score = F.least(n / F.lit(100.0), F.lit(1.0))
+    score = F.round(0.3 * stop_ratio + 0.4 * distinct_ratio + 0.3 * len_score, 6)
+    return df.select(
+        F.col(id_col),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        F.round(distinct_ratio, 6).alias("distinct_ratio"),
+        F.round(len_score, 6).alias("length_score"),
+        score.alias("quality_score"),
+    )
+
+
+def lang_id(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Marker-word counts per language + argmax prediction (fixed tie order)."""
+    toks = _tokens(text_col)
+
+    def count_in(words):
+        arr = F.array(*[F.lit(w) for w in words])
+        # nb: single-param lambda — pyspark infers HOF arity from the signature
+        return F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+
+    counts = {lang: count_in(markers) for lang, markers in LANG_MARKERS.items()}
+    # argmax with fixed tie-break order en > de > fr > es
+    en, de, fr, es = counts["en"], counts["de"], counts["fr"], counts["es"]
+    mx = F.greatest(en, de, fr, es)
+    pred = (
+        F.when(mx == 0, F.lit("unknown"))
+        .when(en == mx, F.lit("en"))
+        .when(de == mx, F.lit("de"))
+        .when(fr == mx, F.lit("fr"))
+        .otherwise(F.lit("es"))
+    )
+    return df.select(
+        F.col(id_col),
+        en.alias("en_n"), de.alias("de_n"), fr.alias("fr_n"), es.alias("es_n"),
+        pred.alias("pred_lang"),
+    )
+
+
+def word_hash_expr(word):
+    """Cross-engine word hash: left fold over code points, mod 1e9+7.
+
+    DuckDB twin: list_reduce(list_prepend(0, list_transform(string_split(w,''),
+    c -> ascii(c))), (acc, x) -> (acc*31 + x) % 1000000007)
+    """
+    chars = F.split(word, "")
+    return F.aggregate(
+        F.filter(chars, lambda c: F.length(c) > 0),
+        F.lit(0).cast("long"),
+        lambda acc, c: (acc * 31 + F.ascii(c)) % FP_MOD,
+    )
+
+
+def fingerprint(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Document fingerprint: rolling hash over token hashes (order-sensitive)."""
+    toks = _tokens(text_col)
+    fp = F.aggregate(
+        toks,
+        F.lit(0).cast("long"),
+        lambda acc, t: (acc * 131 + word_hash_expr(t)) % FP_MOD,
+    )
+    return df.select(F.col(id_col), fp.alias("fingerprint"))

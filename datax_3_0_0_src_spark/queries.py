@@ -1,0 +1,532 @@
+"""Query catalog: every operator exposed through the driver contract.
+
+Each entry pairs a Spark implementation (DataFrame API, Catalyst-optimized)
+with an ANSI-SQL oracle DuckDB runs on the same parquet — the correctness gate.
+Column names/aliases match exactly on both sides (the driver hashes values
+after sorting columns by name). Entries whose semantics are not SQL-expressible
+(the full CDC replay engine, LSH pipelines) have no oracle and get the driver's
+rows-only check.
+
+Cross-engine determinism rules used throughout:
+- double aggregates rounded (sums 2dp, ratios/avgs 4-6dp);
+- integer/fold arithmetic for hashes (mod 1e9+7), identical folds both sides;
+- rank ties broken by id;
+- timestamps pinned UTC (session.py) — DuckDB is UTC-naive.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from .operators import dedup_ops, similarity, textstats
+from .operators.transformers import TransformerPipeline, dx_pad, dx_replace, dx_substr
+
+Query = Callable[[SparkSession, str], DataFrame]
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+# =============================================================== CDC family
+def cdc_lww_latest(spark, sf_dir):
+    """LWW winner per key over the events stream — the engine's dedup operator
+    applied to the shared fixture (order by ts, event_id as tiebreak)."""
+    ev = _t(spark, sf_dir, "events")
+    row = F.struct("ts", "event_type", "value")
+    return (
+        ev.groupBy("user_id")
+        .agg(F.max_by(row, F.struct("ts", "event_id")).alias("w"))
+        .select(
+            "user_id",
+            F.col("w.ts").alias("last_ts"),
+            F.col("w.event_type").alias("last_event_type"),
+            F.round(F.col("w.value"), 6).alias("last_value"),
+        )
+    )
+
+
+CDC_LWW_LATEST_SQL = """
+SELECT user_id, ts AS last_ts, event_type AS last_event_type,
+       round(value, 6) AS last_value
+FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) rn
+      FROM events) WHERE rn = 1
+"""
+
+
+def cdc_apply_changes(spark, sf_dir):
+    """CDC apply semantics on the fixture: last event wins; 'error' acts as a
+    delete op => user absent from the final state (mirrors MERGE ... DELETE)."""
+    latest = cdc_lww_latest(spark, sf_dir)
+    return latest.filter(F.col("last_event_type") != "error")
+
+
+CDC_APPLY_CHANGES_SQL = """
+SELECT user_id, ts AS last_ts, event_type AS last_event_type,
+       round(value, 6) AS last_value
+FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) rn
+      FROM events) WHERE rn = 1 AND event_type <> 'error'
+"""
+
+
+def cdc_replay_snapshot(spark, sf_dir):
+    """Flagship: full engine replay of a deterministic synthetic WAL (the
+    BASELINE input_hint pages table). Not SQL-expressible (stateful multi-epoch
+    MERGE engine) => rows-only driver check; byte-identical correctness is
+    enforced by tests/test_replayer_e2e.py against the pandas oracle."""
+    from .cdc.gen import EventGenConfig, write_event_log
+    from .cdc.replayer import ReplayConfig, Replayer
+
+    cfg = EventGenConfig(seed=42, n_events=20_000, events_per_epoch=5_000)
+    base = os.path.join(
+        tempfile.gettempdir(), f"cdc_replay_snapshot_{cfg.seed}_{cfg.n_events}"
+    )
+    log_dir = os.path.join(base, "wal")
+    if not os.path.isdir(log_dir):
+        write_event_log(spark, cfg, log_dir, slices=8)
+    import shutil
+    for sub in ("pages", "work"):
+        shutil.rmtree(os.path.join(base, sub), ignore_errors=True)
+    rep = Replayer(
+        spark,
+        ReplayConfig(
+            log_dir=log_dir,
+            table_path=os.path.join(base, "pages"),
+            work_dir=os.path.join(base, "work"),
+            num_buckets=16,
+        ),
+    )
+    rep.run()
+    return rep.table.read().select("url", "warc_ts", "text", "lang")
+
+
+# ============================================================ relational/TPCH
+def tpch_q1_pricing(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+TPCH_Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(avg(l_quantity), 4) AS avg_qty,
+       round(avg(l_extendedprice), 4) AS avg_price,
+       round(avg(l_discount), 6) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def tpch_q3_shipping(spark, sf_dir):
+    """Join chain with broadcast dims + top-k by revenue."""
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+TPCH_Q3_SQL = """
+SELECT l_orderkey, o_orderdate, o_orderpriority,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey ASC LIMIT 10
+"""
+
+
+def tpch_q5_nation_revenue(spark, sf_dir):
+    """Star join through region/nation dims — all dims broadcast."""
+    region = _t(spark, sf_dir, "region")
+    nation = _t(spark, sf_dir, "nation")
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+             F.count(F.lit(1)).alias("n_items"))
+        .orderBy("r_name", "n_name")
+    )
+
+
+TPCH_Q5_SQL = """
+SELECT r_name, n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*) AS n_items
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name ORDER BY r_name, n_name
+"""
+
+
+def top_order_per_customer(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "o_custkey",
+            F.col("o_orderkey").alias("top_orderkey"),
+            F.round("o_totalprice", 2).alias("top_totalprice"),
+        )
+    )
+
+
+TOP_ORDER_SQL = """
+SELECT o_custkey, o_orderkey AS top_orderkey, round(o_totalprice, 2) AS top_totalprice
+FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey
+      ORDER BY o_totalprice DESC, o_orderkey ASC) rn FROM orders) WHERE rn = 1
+"""
+
+
+def events_sessionize(spark, sf_dir):
+    """Sessionization: 30-minute inactivity gap starts a new session."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # ts is TIMESTAMP_NTZ in the fixtures; cast via LTZ (session TZ pinned UTC)
+    epoch_s = F.col("ts").cast("timestamp_ltz").cast("long")
+    gap = epoch_s - F.lag(epoch_s).over(w)
+    sess = (
+        ev.withColumn("new_sess", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0))
+        .withColumn("session_id", F.sum("new_sess").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)))
+    )
+    return (
+        sess.groupBy("user_id", "session_id")
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.round(F.sum("value"), 4).alias("session_value"))
+        .orderBy("user_id", "session_id")
+    )
+
+
+SESSIONIZE_SQL = """
+WITH g AS (
+  SELECT user_id, ts, event_id, value,
+         CASE WHEN epoch(ts) - lag(epoch(ts)) OVER
+              (PARTITION BY user_id ORDER BY ts, event_id) > 1800
+              OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+         THEN 1 ELSE 0 END AS new_sess
+  FROM events),
+s AS (SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      ROWS UNBOUNDED PRECEDING) AS session_id FROM g)
+SELECT user_id, session_id, count(*) AS n_events, round(sum(value), 4) AS session_value
+FROM s GROUP BY user_id, session_id ORDER BY user_id, session_id
+"""
+
+
+def events_minutely(spark, sf_dir):
+    """Streaming-style tumbling-window aggregate (batch expression)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_trunc("minute", F.col("ts")).alias("minute"),
+            F.col("event_type"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("total_value"))
+        .orderBy("minute", "event_type")
+    )
+
+
+EVENTS_MINUTELY_SQL = """
+SELECT date_trunc('minute', ts) AS minute, event_type,
+       count(*) AS n, round(sum(value), 4) AS total_value
+FROM events GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+# ======================================================== transformers (dx_*)
+def transform_pipeline(spark, sf_dir):
+    """dx_substr + dx_pad + dx_replace + dx_filter chained, DataX semantics
+    (dx_filter DROPS matching rows)."""
+    part = _t(spark, sf_dir, "part")
+    pipe = (
+        TransformerPipeline()
+        .with_column("name_head", dx_substr("p_name", 0, 8))
+        .with_column("brand_pad", dx_pad("p_brand", "l", 10, "#"))
+        .with_column("type_fix", dx_replace("p_type", 0, 5, "TYPE-"))
+        .filter_out("p_size", "<", 5)
+    )
+    return pipe.apply(part).select("p_partkey", "name_head", "brand_pad", "type_fix", "p_size")
+
+
+TRANSFORM_SQL = """
+SELECT p_partkey,
+       substr(p_name, 1, 8) AS name_head,
+       lpad(p_brand, 10, '#') AS brand_pad,
+       'TYPE-' || CASE WHEN length(p_type) > 5 THEN substr(p_type, 6) ELSE '' END AS type_fix,
+       p_size
+FROM part WHERE NOT coalesce(p_size < 5, FALSE)
+"""
+
+
+# ============================================================== text analysis
+def doc_token_stats(spark, sf_dir):
+    return textstats.token_stats(_t(spark, sf_dir, "documents"))
+
+
+DOC_TOKEN_STATS_SQL = """
+WITH t AS (SELECT doc_id, text, string_split_regex(trim(text), '\\s+') AS toks FROM documents)
+SELECT doc_id,
+       len(toks) AS n_tokens,
+       length(text) AS n_chars,
+       len(list_distinct(toks)) AS n_distinct_tokens,
+       round(list_sum(list_transform(toks, t -> length(t))) * 1.0 / len(toks), 6) AS avg_token_len
+FROM t
+"""
+
+
+def doc_quality(spark, sf_dir):
+    return textstats.quality_score(_t(spark, sf_dir, "documents"))
+
+
+_SW = "', '".join(textstats.STOPWORDS)
+DOC_QUALITY_SQL = f"""
+WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents),
+r AS (SELECT doc_id,
+        len(list_filter(toks, x -> x IN ('{_SW}'))) * 1.0 / len(toks) AS stop_ratio,
+        len(list_distinct(toks)) * 1.0 / len(toks) AS dist_ratio,
+        least(len(toks) / 100.0, 1.0) AS len_score
+      FROM t)
+SELECT doc_id, round(stop_ratio, 6) AS stopword_ratio, round(dist_ratio, 6) AS distinct_ratio,
+       round(len_score, 6) AS length_score,
+       round(0.3 * stop_ratio + 0.4 * dist_ratio + 0.3 * len_score, 6) AS quality_score
+FROM r
+"""
+
+
+def doc_lang_id(spark, sf_dir):
+    return textstats.lang_id(_t(spark, sf_dir, "documents"))
+
+
+def _markers_sql(lang):
+    return "', '".join(textstats.LANG_MARKERS[lang])
+
+
+DOC_LANG_ID_SQL = f"""
+WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents),
+c AS (SELECT doc_id,
+        len(list_filter(toks, x -> x IN ('{_markers_sql("en")}'))) AS en_n,
+        len(list_filter(toks, x -> x IN ('{_markers_sql("de")}'))) AS de_n,
+        len(list_filter(toks, x -> x IN ('{_markers_sql("fr")}'))) AS fr_n,
+        len(list_filter(toks, x -> x IN ('{_markers_sql("es")}'))) AS es_n
+      FROM t)
+SELECT doc_id, en_n, de_n, fr_n, es_n,
+       CASE WHEN greatest(en_n, de_n, fr_n, es_n) = 0 THEN 'unknown'
+            WHEN en_n = greatest(en_n, de_n, fr_n, es_n) THEN 'en'
+            WHEN de_n = greatest(en_n, de_n, fr_n, es_n) THEN 'de'
+            WHEN fr_n = greatest(en_n, de_n, fr_n, es_n) THEN 'fr'
+            ELSE 'es' END AS pred_lang
+FROM c
+"""
+
+# shared DuckDB fragment: the cross-engine word hash (textstats.word_hash_expr)
+_WH = ("list_reduce(list_prepend(CAST(0 AS BIGINT), "
+       "list_transform(list_filter(string_split({w}, ''), ch -> length(ch) > 0), "
+       "ch -> CAST(ascii(ch) AS BIGINT))), (acc, x) -> (acc * 31 + x) % 1000000007)")
+
+
+def doc_fingerprint(spark, sf_dir):
+    return textstats.fingerprint(_t(spark, sf_dir, "documents"))
+
+
+DOC_FINGERPRINT_SQL = f"""
+WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents)
+SELECT doc_id,
+       list_reduce(list_prepend(CAST(0 AS BIGINT),
+         list_transform(toks, w -> {_WH.format(w='w')})),
+         (acc, x) -> (acc * 131 + x) % 1000000007) AS fingerprint
+FROM t
+"""
+
+
+# ================================================================== dedup ops
+def doc_exact_dedup(spark, sf_dir):
+    return dedup_ops.exact_dedup(_t(spark, sf_dir, "documents"))
+
+
+DOC_EXACT_DEDUP_SQL = """
+SELECT md5(text) AS text_md5, min(doc_id) AS canonical_id, count(*) AS n_docs
+FROM documents GROUP BY md5(text)
+"""
+
+_SHINGLES2 = ("CASE WHEN len(toks) >= 2 THEN "
+              "list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1]) "
+              "ELSE [list_aggregate(toks, 'string_agg', ' ')] END")
+
+
+def doc_minhash_signatures(spark, sf_dir):
+    return dedup_ops.minhash_signatures(_t(spark, sf_dir, "documents"), k=4)
+
+
+DOC_MINHASH_SQL = f"""
+WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents),
+s AS (SELECT doc_id, list_distinct({_SHINGLES2}) AS sh FROM t),
+h AS (SELECT doc_id, list_transform(sh, w -> {_WH.format(w='w')}) AS hs FROM s)
+SELECT doc_id,
+  list_min(list_transform(hs, h -> (h * 1000003 + 12345) % 1000000007)) AS mh0,
+  list_min(list_transform(hs, h -> (h * 999983 + 54321) % 1000000007)) AS mh1,
+  list_min(list_transform(hs, h -> (h * 1000033 + 98765) % 1000000007)) AS mh2,
+  list_min(list_transform(hs, h -> (h * 999979 + 13579) % 1000000007)) AS mh3
+FROM h
+"""
+
+
+def doc_simhash(spark, sf_dir):
+    return dedup_ops.simhash(_t(spark, sf_dir, "documents"), bits=16)
+
+
+def _simhash_sql(bits: int = 16) -> str:
+    terms = []
+    for b in range(bits):
+        terms.append(
+            f"CASE WHEN list_sum(list_transform(hs, h -> CASE WHEN (h >> {b}) & 1 = 1 "
+            f"THEN 1 ELSE -1 END)) > 0 THEN CAST({2**b} AS BIGINT) ELSE 0 END"
+        )
+    total = " + ".join(terms)
+    return f"""
+WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents),
+h AS (SELECT doc_id, list_transform(toks, w -> {_WH.format(w='w')}) AS hs FROM t)
+SELECT doc_id, {total} AS simhash FROM h
+"""
+
+
+DOC_SIMHASH_SQL = _simhash_sql(16)
+
+
+def doc_ngram_jaccard(spark, sf_dir):
+    return dedup_ops.ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), n=2, threshold=0.2, max_shingle_df=None
+    )
+
+
+DOC_NGRAM_JACCARD_SQL = f"""
+WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents),
+s AS (SELECT doc_id AS _id, unnest(list_distinct({_SHINGLES2})) AS shingle FROM t),
+sizes AS (SELECT _id, count(*) AS n_sh FROM s GROUP BY _id),
+common AS (SELECT a._id AS id_a, b._id AS id_b, count(*) AS n_common
+           FROM s a JOIN s b ON a.shingle = b.shingle AND a._id < b._id
+           GROUP BY a._id, b._id)
+SELECT id_a, id_b, n_common,
+       round(n_common * 1.0 / (sa.n_sh + sb.n_sh - n_common), 6) AS jaccard
+FROM common JOIN sizes sa ON sa._id = id_a JOIN sizes sb ON sb._id = id_b
+WHERE n_common * 1.0 / (sa.n_sh + sb.n_sh - n_common) >= 0.2
+"""
+
+
+def doc_minhash_lsh_pairs(spark, sf_dir):
+    """MinHash+LSH near-dup pipeline (banding + verify) — rows-only check."""
+    return dedup_ops.minhash_lsh_pairs(
+        _t(spark, sf_dir, "documents"), k=8, bands=4, shingle_n=2, jaccard_threshold=0.2
+    )
+
+
+# ================================================================= similarity
+def emb_cosine_topk(spark, sf_dir):
+    return similarity.cosine_topk(
+        _t(spark, sf_dir, "embeddings"), query_ids=list(range(10)), k=5
+    )
+
+
+EMB_COSINE_TOPK_SQL = """
+WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 10),
+c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),
+p AS (SELECT query_id, neighbor_id,
+        round(list_dot_product(qv, cv) /
+              (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))), 6) AS cosine_sim
+      FROM c CROSS JOIN q WHERE neighbor_id <> query_id),
+r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+      ORDER BY cosine_sim DESC, neighbor_id ASC) AS rank FROM p)
+SELECT query_id, rank, neighbor_id, cosine_sim FROM r WHERE rank <= 5
+"""
+
+
+def emb_lsh_near_pairs(spark, sf_dir):
+    """Hyperplane-LSH candidate generation + exact verify — rows-only check."""
+    return similarity.lsh_near_pairs(
+        _t(spark, sf_dir, "embeddings"), n_planes=6, dim=64, min_cosine=0.25
+    )
+
+
+# ==================================================================== catalog
+QUERIES: dict[str, Query] = {
+    "cdc_lww_latest": cdc_lww_latest,
+    "cdc_apply_changes": cdc_apply_changes,
+    "cdc_replay_snapshot": cdc_replay_snapshot,
+    "tpch_q1_pricing": tpch_q1_pricing,
+    "tpch_q3_shipping": tpch_q3_shipping,
+    "tpch_q5_nation_revenue": tpch_q5_nation_revenue,
+    "top_order_per_customer": top_order_per_customer,
+    "events_sessionize": events_sessionize,
+    "events_minutely": events_minutely,
+    "transform_pipeline": transform_pipeline,
+    "doc_token_stats": doc_token_stats,
+    "doc_quality": doc_quality,
+    "doc_lang_id": doc_lang_id,
+    "doc_fingerprint": doc_fingerprint,
+    "doc_exact_dedup": doc_exact_dedup,
+    "doc_minhash_signatures": doc_minhash_signatures,
+    "doc_simhash": doc_simhash,
+    "doc_ngram_jaccard": doc_ngram_jaccard,
+    "doc_minhash_lsh_pairs": doc_minhash_lsh_pairs,
+    "emb_cosine_topk": emb_cosine_topk,
+    "emb_lsh_near_pairs": emb_lsh_near_pairs,
+}
+
+ORACLES: dict[str, str] = {
+    "cdc_lww_latest": CDC_LWW_LATEST_SQL,
+    "cdc_apply_changes": CDC_APPLY_CHANGES_SQL,
+    "tpch_q1_pricing": TPCH_Q1_SQL,
+    "tpch_q3_shipping": TPCH_Q3_SQL,
+    "tpch_q5_nation_revenue": TPCH_Q5_SQL,
+    "top_order_per_customer": TOP_ORDER_SQL,
+    "events_sessionize": SESSIONIZE_SQL,
+    "events_minutely": EVENTS_MINUTELY_SQL,
+    "transform_pipeline": TRANSFORM_SQL,
+    "doc_token_stats": DOC_TOKEN_STATS_SQL,
+    "doc_quality": DOC_QUALITY_SQL,
+    "doc_lang_id": DOC_LANG_ID_SQL,
+    "doc_fingerprint": DOC_FINGERPRINT_SQL,
+    "doc_exact_dedup": DOC_EXACT_DEDUP_SQL,
+    "doc_minhash_signatures": DOC_MINHASH_SQL,
+    "doc_simhash": DOC_SIMHASH_SQL,
+    "doc_ngram_jaccard": DOC_NGRAM_JACCARD_SQL,
+    "emb_cosine_topk": EMB_COSINE_TOPK_SQL,
+    # no oracle (rows-only): cdc_replay_snapshot, doc_minhash_lsh_pairs,
+    # emb_lsh_near_pairs — stateful engine / LSH pipelines, not SQL-expressible
+}

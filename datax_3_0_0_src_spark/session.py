@@ -44,6 +44,7 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cpus or 32))
         .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
         .config("spark.driver.host", "127.0.0.1")
     )
     for k, v in (extra_conf or {}).items():
@@ -64,6 +65,9 @@ def _ship_package(spark: SparkSession) -> None:
     """
     import zipfile
 
+    sc = spark.sparkContext
+    if getattr(sc, "_datax_pkg_shipped", False):
+        return
     pkg_dir = os.path.dirname(os.path.abspath(__file__))
     root = os.path.dirname(pkg_dir)
     zpath = os.path.join(
@@ -76,4 +80,5 @@ def _ship_package(spark: SparkSession) -> None:
                     if fn.endswith(".py"):
                         full = os.path.join(dirpath, fn)
                         z.write(full, os.path.relpath(full, root))
-    spark.sparkContext.addPyFile(zpath)
+    sc.addPyFile(zpath)
+    sc._datax_pkg_shipped = True
