@@ -1,0 +1,81 @@
+"""Job spec + runner — the DataX job-JSON contract on Spark.
+
+Reference: a DataX job is one JSON document
+  {"job": {"setting": {speed, errorLimit}, "content": [{reader, transformer?,
+  writer}]}}
+parsed by Configuration/ConfigParser and executed by JobContainer
+(common/src/main/java/com/alibaba/datax/common/util/Configuration.java:53-659,
+core/.../util/ConfigParser.java, canonical example stream2stream.json:1-36).
+
+Here the same shape drives: read_source -> transformer pipeline -> write_sink,
+with setting.speed as partitioning hints and setting.errorLimit enforced via
+the quarantine counters when the writer is the lake sink.
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass, field
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .operators.transformers import dx_filter, dx_pad, dx_replace, dx_substr
+from .sinks import write_sink
+from .sources import read_source
+
+
+@dataclass
+class JobSpec:
+    reader: dict
+    writer: dict
+    transformers: list[dict] = field(default_factory=list)
+    speed: dict = field(default_factory=dict)       # {"channel": N}
+    error_limit: dict = field(default_factory=dict)  # {"record": N, "percentage": f}
+
+    @classmethod
+    def from_json(cls, text: str) -> "JobSpec":
+        d = json.loads(text)
+        content = d["job"]["content"][0] if "job" in d else d
+        setting = d.get("job", {}).get("setting", {})
+        return cls(
+            reader=content["reader"],
+            writer=content["writer"],
+            transformers=content.get("transformer", []),
+            speed=setting.get("speed", {}),
+            error_limit=setting.get("errorLimit", {}),
+        )
+
+
+# the five built-in transformers by their DataX registry names
+# (TransformerRegistry.java:34-38); parameters use column NAMES not indexes
+# (schema is first-class here, unlike DataX's positional records)
+def _apply_transformer(df: DataFrame, t: dict) -> DataFrame:
+    name, p = t["name"], t.get("parameter", {})
+    col = p["columnName"]
+    paras: list[Any] = p.get("paras", [])
+    if name == "dx_substr":
+        return df.withColumn(col, dx_substr(col, int(paras[0]), int(paras[1])))
+    if name == "dx_pad":
+        return df.withColumn(col, dx_pad(col, paras[0], int(paras[1]), paras[2]))
+    if name == "dx_replace":
+        return df.withColumn(col, dx_replace(col, int(paras[0]), int(paras[1]), paras[2]))
+    if name == "dx_filter":
+        return dx_filter(df, col, paras[0], paras[1])
+    raise KeyError(f"unknown transformer {name!r}")
+
+
+def run_job(spark: SparkSession, spec: JobSpec | dict | str):
+    """Execute reader -> transformers -> writer (JobContainer.start lite)."""
+    if isinstance(spec, str):
+        spec = JobSpec.from_json(spec)
+    elif isinstance(spec, dict):
+        spec = JobSpec.from_json(json.dumps(spec))
+    df = read_source(spark, spec.reader)
+    for t in spec.transformers:
+        df = _apply_transformer(df, t)
+    channels = spec.speed.get("channel")
+    if channels:
+        # adjustChannelNumber (JobContainer.java:508-588): explicit parallelism
+        df = df.repartition(int(channels))
+    return write_sink(df, spec.writer)

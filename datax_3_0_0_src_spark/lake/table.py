@@ -49,6 +49,7 @@ class MergeStats:
     batch_rows: int
     batch_deletes: int
     new_files: int
+    rows_per_bucket: dict | None = None  # bucket -> batch rows applied there
 
 
 class LakeTable:
@@ -170,6 +171,7 @@ class LakeTable:
         op_col: str | None = "op",
         delete_op: str = "D",
         properties: dict | None = None,
+        plan_rows_per_bucket: dict[int, int] | None = None,
     ) -> MergeStats:
         """Copy-on-write MERGE INTO: last-writer-wins upsert/delete by key.
 
@@ -185,6 +187,11 @@ class LakeTable:
           WHEN MATCHED AND s is newer THEN UPDATE SET *
           WHEN NOT MATCHED THEN INSERT * (or tombstone for op='D')
         where "newer" = (s.ts, s.seq) > (t.ts, t._lww_offset).
+
+        ``plan_rows_per_bucket``: optional precomputed {bucket: row_count} for
+        the batch (e.g. from an upstream per-partition stat pass). When given,
+        the planning aggregation is skipped and the batch pipeline is evaluated
+        exactly once (matters when it embeds expensive stages like Arrow UDFs).
         """
         snap = self.snapshot()
         key, ts_col, nb = snap.properties["key"], snap.properties["ts_col"], snap.num_buckets
@@ -222,13 +229,21 @@ class LakeTable:
         s = batch.select(*cols)
 
         # --- plan: touched buckets only --------------------------------
+        # (uncached: recomputing the batch twice beats caching wide binary
+        # rows, which thrashes at high core counts — see cdc/replayer.py)
         s = s.withColumn(SYS_BUCKET, self._bucket_expr(key))
-        agg = s.groupBy(SYS_BUCKET).agg(
-            F.count(F.lit(1)).alias("n"), F.sum(F.col(SYS_DELETED).cast("long")).alias("d")
-        ).collect()
-        touched = sorted(int(r[SYS_BUCKET]) for r in agg)
-        batch_rows = int(sum(r["n"] for r in agg))
-        batch_deletes = int(sum(r["d"] for r in agg))
+        if plan_rows_per_bucket is not None:
+            per_bucket = {int(b): int(n) for b, n in plan_rows_per_bucket.items() if n}
+            batch_deletes = -1  # unknown without the agg; metrics use the plan
+        else:
+            agg = s.groupBy(SYS_BUCKET).agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.col(SYS_DELETED).cast("long")).alias("d"),
+            ).collect()
+            per_bucket = {int(r[SYS_BUCKET]): int(r["n"]) for r in agg}
+            batch_deletes = int(sum(r["d"] for r in agg))
+        touched = sorted(per_bucket)
+        batch_rows = int(sum(per_bucket.values()))
         if not touched:  # empty batch: still commit a (metadata-only) snapshot
             new_snap = Snapshot(
                 version=snap.version + 1, parent=snap.version,
@@ -237,7 +252,7 @@ class LakeTable:
                 summary={"touched_buckets": 0, "batch_rows": 0, "batch_deletes": 0},
             )
             write_snapshot(self.path, new_snap)
-            return MergeStats(new_snap.version, 0, 0, 0, 0)
+            return MergeStats(new_snap.version, 0, 0, 0, 0, {})
 
         touched_files = [f for b in touched for f in snap.bucket_files(b)]
         e = self._read_files(touched_files, phys)
@@ -256,6 +271,18 @@ class LakeTable:
             for f in phys.fields
         ]
         merged = joined.select(*out_cols).withColumn(SYS_BUCKET, self._bucket_expr(key))
+
+        # Controlled file layout: without this, every join task writes into
+        # every touched bucket => tasks x buckets tiny files, which compounds
+        # into slow snapshot scans. Repartition on (bucket, salt) so the commit
+        # produces ~salt files per bucket while keeping writes parallel.
+        par = self.spark.sparkContext.defaultParallelism
+        write_salt = max(1, par // max(1, len(touched)))
+        merged = merged.repartition(
+            max(len(touched) * write_salt, 1),
+            F.col(SYS_BUCKET),
+            F.pmod(F.xxhash64(F.col(key)), F.lit(write_salt)),
+        )
 
         # --- write touched buckets, commit snapshot ---------------------
         version = snap.version + 1
@@ -290,7 +317,7 @@ class LakeTable:
             },
         )
         write_snapshot(self.path, new_snap)
-        return MergeStats(version, len(touched), batch_rows, batch_deletes, n_new)
+        return MergeStats(version, len(touched), batch_rows, batch_deletes, n_new, per_bucket)
 
     # ------------------------------------------------------------- append
     def append(self, df: DataFrame, *, properties: dict | None = None) -> MergeStats:

@@ -483,6 +483,22 @@ def emb_lsh_near_pairs(spark, sf_dir):
     )
 
 
+def multimodal_media_meta(spark, sf_dir):
+    """Binary media columns -> typed metadata via Arrow mapInPandas (decode
+    kernel stubbed deterministically — no codec libs in this container; the
+    Spark plumbing is real). Rows-only check."""
+    from .operators.multimodal import extract_media_meta
+
+    docs = _t(spark, sf_dir, "documents")
+    media = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit(b"\x89PNG\r\n\x1a\n"), F.encode(F.col("text"), "utf-8")
+        ).alias("payload"),
+    )
+    return extract_media_meta(media)
+
+
 # ==================================================================== catalog
 QUERIES: dict[str, Query] = {
     "cdc_lww_latest": cdc_lww_latest,
@@ -506,6 +522,7 @@ QUERIES: dict[str, Query] = {
     "doc_minhash_lsh_pairs": doc_minhash_lsh_pairs,
     "emb_cosine_topk": emb_cosine_topk,
     "emb_lsh_near_pairs": emb_lsh_near_pairs,
+    "multimodal_media_meta": multimodal_media_meta,
 }
 
 ORACLES: dict[str, str] = {

@@ -1,0 +1,158 @@
+"""Transformer semantics, dedup family, similarity, plan shape assertions."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from datax_3_0_0_src_spark.operators import dedup_ops, similarity, textstats
+from datax_3_0_0_src_spark.operators.transformers import (
+    TransformerPipeline, dx_filter, dx_pad, dx_replace, dx_substr,
+)
+from datax_3_0_0_src_spark.plans import (
+    assert_broadcast_join, assert_pushed_filters, plan_string,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat"),
+            (2, "the cat sat on the mat"),          # exact dup of 1
+            (3, "the cat sat on the red mat"),      # near dup of 1
+            (4, "completely different words here"),
+            (5, "le chat et le chien et les oiseaux"),
+        ],
+        "doc_id long, text string",
+    )
+
+
+def test_dx_substr_pad_replace(spark):
+    df = spark.createDataFrame([("abcdefgh",), ("ab",), (None,)], "s string")
+    out = df.select(
+        dx_substr("s", 2, 3).alias("sub"),
+        dx_pad("s", "l", 5, "#").alias("pad"),
+        dx_replace("s", 1, 2, "XY").alias("rep"),
+    ).collect()
+    assert out[0]["sub"] == "cde"
+    assert out[0]["pad"] == "abcde"          # truncates to len (DataX pad semantics)
+    assert out[0]["rep"] == "aXYdefgh"       # splice-replace [1, 3)
+    assert out[1]["sub"] == ""               # clamped past end
+    assert out[1]["pad"] == "###ab"
+    assert out[1]["rep"] == "aXY"
+    assert out[2]["sub"] is None             # null passes through
+
+
+def test_dx_filter_drops_matching(spark):
+    df = spark.createDataFrame([(1, "keep"), (2, "drop_me"), (3, None)], "i long, s string")
+    # DataX semantics: rows MATCHING are dropped; nulls never match
+    out = dx_filter(df, "s", "like", "drop.*").collect()
+    assert sorted(r["i"] for r in out) == [1, 3]
+    out2 = dx_filter(df, "i", ">=", 2).collect()
+    assert [r["i"] for r in out2] == [1]
+
+
+def test_transformer_pipeline_order(spark):
+    df = spark.createDataFrame([("abcdef", 1), ("zzzzzz", 9)], "s string, n long")
+    pipe = (TransformerPipeline()
+            .with_column("s", dx_substr("s", 0, 3))
+            .filter_out("n", ">", 5))
+    out = pipe.apply(df).collect()
+    assert len(out) == 1 and out[0]["s"] == "abc"
+
+
+def test_exact_dedup_groups(spark, docs):
+    out = {r["canonical_id"]: r["n_docs"] for r in dedup_ops.exact_dedup(docs).collect()}
+    assert out[1] == 2  # docs 1,2 identical
+    assert out[3] == 1
+
+
+def test_ngram_jaccard_finds_near_dup(spark, docs):
+    pairs = dedup_ops.ngram_jaccard_pairs(docs, n=2, threshold=0.4, max_shingle_df=None)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert (1, 2) in got            # exact dup => jaccard 1.0
+    assert (1, 3) in got or (2, 3) in got  # near dup
+    assert not any(4 in p for p in got)
+
+
+def test_minhash_lsh_agrees_with_exact_jaccard(spark, docs):
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in dedup_ops.ngram_jaccard_pairs(docs, n=2, threshold=0.5,
+                                               max_shingle_df=None).collect()
+    }
+    lsh = {
+        (r["id_a"], r["id_b"])
+        for r in dedup_ops.minhash_lsh_pairs(docs, k=8, bands=4, shingle_n=2,
+                                             jaccard_threshold=0.5).collect()
+    }
+    assert lsh <= exact  # verification step guarantees precision
+    assert (1, 2) in lsh  # identical docs always collide in every band
+
+
+def test_simhash_identical_docs_equal(spark, docs):
+    sh = {r["doc_id"]: r["simhash"] for r in dedup_ops.simhash(docs).collect()}
+    assert sh[1] == sh[2]
+    assert sh[1] != sh[4]
+
+
+def test_cosine_topk_self_similarity_excluded(spark):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    out = similarity.cosine_topk(emb, query_ids=[0, 1], k=3).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for q, rows in by_q.items():
+        assert len(rows) == 3
+        assert all(r["neighbor_id"] != q for r in rows)
+        sims = [r["cosine_sim"] for r in sorted(rows, key=lambda r: r["rank"])]
+        assert sims == sorted(sims, reverse=True)
+
+
+def test_langid_markers(spark):
+    df = spark.createDataFrame(
+        [(1, "the cat and the dog of to in"), (2, "der hund und die katze nicht"),
+         (3, "xyzzy plugh")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["pred_lang"] for r in textstats.lang_id(df).collect()}
+    assert out == {1: "en", 2: "de", 3: "unknown"}
+
+
+def test_fingerprint_order_sensitive(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b c"), (3, "c b a")], "doc_id long, text string"
+    )
+    fp = {r["doc_id"]: r["fingerprint"] for r in textstats.fingerprint(df).collect()}
+    assert fp[1] == fp[2] != fp[3]
+
+
+# --------------------------------------------------------------- plan shape
+def test_filter_pushdown_reaches_parquet_scan(spark):
+    df = (
+        spark.read.parquet(f"{SF}/lineitem.parquet")
+        .filter(F.col("l_quantity") > 40)
+        .select("l_orderkey", "l_quantity")
+    )
+    assert_pushed_filters(df, "l_quantity")
+    # column pruning: scan must not read all 11 columns
+    plan = plan_string(df)
+    assert "l_extendedprice" not in plan.split("ReadSchema")[1][:300]
+
+
+def test_small_dim_join_broadcasts(spark):
+    from datax_3_0_0_src_spark.queries import tpch_q3_shipping
+    assert_broadcast_join(tpch_q3_shipping(spark, SF), 1)
+
+
+def test_lww_dedup_is_partial_aggregated(spark):
+    """The dedup must be a hash/object agg with map-side partial combine, not
+    a global sort or window — that's the skew-resistant shape."""
+    from datax_3_0_0_src_spark.cdc.dedup import dedup_lww
+    ev = spark.read.parquet(f"{SF}/events.parquet").withColumnRenamed("event_id", "log_offset")
+    plan = plan_string(dedup_lww(ev, key="user_id", ts_col="ts", seq_col="log_offset"))
+    assert "Window" not in plan
+    assert plan.count("Aggregate") >= 2  # partial + final
