@@ -56,18 +56,19 @@ _CHILD = r"""
 import sys, time, shutil, os
 sys.path.insert(0, {repo!r})
 from datax_3_0_0_src_spark.session import get_spark
-from datax_3_0_0_src_spark.cdc.gen import EventGenConfig, write_event_log
 from datax_3_0_0_src_spark.cdc.replayer import ReplayConfig, Replayer
+from datax_3_0_0_src_spark.cdc.extract import extract_text_udf
+from pyspark.sql import functions as F
 cores = {cores}
 spark = get_spark(parallelism=cores, shuffle_partitions=cores,
                   extra_conf={{"spark.local.dir": {shm!r} + "/spark_local_bench"}})
+# warm every python worker (pandas import + package load) before the clock
+(spark.range(0, cores * 2000, numPartitions=cores)
+ .select(extract_text_udf(F.lit(
+     b"<html><head><title>t</title></head><body>b</body></html>")))
+ .write.format("noop").mode("overwrite").save())
 base = {shm!r} + f"/datax_bench_replay_{{cores}}"
 shutil.rmtree(base, ignore_errors=True)
-wcfg = EventGenConfig(seed=9, n_events=20_000, events_per_epoch=20_000)
-write_event_log(spark, wcfg, base + "/warm_wal", slices=cores)
-Replayer(spark, ReplayConfig(log_dir=base + "/warm_wal",
-                             table_path=base + "/warm_pages",
-                             work_dir=base + "/warm_work", num_buckets=16)).run()
 rep = Replayer(spark, ReplayConfig(log_dir={wal!r}, table_path=base + "/pages",
                                    work_dir=base + "/work", num_buckets=16))
 t0 = time.monotonic()
@@ -112,9 +113,12 @@ def main() -> None:
         df.write.format("noop").mode("overwrite").save()
 
     queries: dict[str, float] = {}
+    warmed = False
     for name in HEADLINE:
         fn = qcat.QUERIES[name]
-        force(fn(spark, SF_DIR))  # warm
+        if not warmed:
+            force(fn(spark, SF_DIR))  # one warm run pays session/worker spin-up
+            warmed = True
         t0 = time.monotonic()
         force(fn(spark, SF_DIR))
         queries[name] = round(time.monotonic() - t0, 3)
@@ -122,18 +126,25 @@ def main() -> None:
 
     # ---- phase C: replay at two parallelism levels, interleaved ----------
     small = max(2, CPUS // 4)
-    times: dict[int, list[float]] = {small: [], CPUS: []}
-    n_events = {small: 0, CPUS: 0}
-    for _ in range(REPS):
-        for cores in (CPUS, small):
+    tiny = max(1, small // 4)
+    times: dict[int, list[float]] = {tiny: [], small: [], CPUS: []}
+    n_events = dict.fromkeys(times, 0)
+    for rep in range(REPS):
+        for cores in (CPUS, small) if rep else (CPUS, small, tiny):
             dt, n = replay_subprocess(cores)
             times[cores].append(dt)
             n_events[cores] = n
-    dt_small, dt_large = min(times[small]), min(times[CPUS])
+    dt_tiny, dt_small, dt_large = (min(times[c]) for c in (tiny, small, CPUS))
+    thr_tiny = n_events[tiny] / dt_tiny
     thr_small = n_events[small] / dt_small
     thr_large = n_events[CPUS] / dt_large
     efficiency = (thr_large / thr_small) / (CPUS / small)
+    efficiency_tiny = (thr_small / thr_tiny) / (small / tiny)
+    # Amdahl decomposition from the (tiny, small) pair, sanity-check at CPUS
+    par = (dt_tiny - dt_small) / (1 / tiny - 1 / small)
+    ser = max(dt_small - par / small, 0.0)
 
+    queries[f"cdc_replay_local{tiny}"] = round(dt_tiny, 3)
     queries[f"cdc_replay_local{small}"] = round(dt_small, 3)
     queries[f"cdc_replay_local{CPUS}"] = round(dt_large, 3)
 
@@ -153,13 +164,19 @@ def main() -> None:
             "input_events": N_EVENTS,
             "reps_per_level": REPS,
             "estimator": "best-of-reps (shared-VM noise mitigation)",
+            "cores": {str(c): sorted(round(t, 2) for t in ts) for c, ts in times.items()},
+            "events_per_sec": {
+                str(tiny): round(thr_tiny, 1),
+                str(small): round(thr_small, 1),
+                str(CPUS): round(thr_large, 1),
+            },
             "cores_small": small,
             "cores_large": CPUS,
-            "all_times_small": [round(t, 2) for t in times[small]],
-            "all_times_large": [round(t, 2) for t in times[CPUS]],
             "events_per_sec_small": round(thr_small, 1),
             "events_per_sec_large": round(thr_large, 1),
             "scaling_efficiency": round(efficiency, 3),
+            "scaling_efficiency_n_to_4n_low": round(efficiency_tiny, 3),
+            "amdahl_fit": {"serial_s": round(ser, 1), "parallel_s": round(par, 1)},
         },
     }))
 

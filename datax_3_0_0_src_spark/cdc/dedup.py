@@ -27,26 +27,30 @@ def dedup_lww(
     salt_partitions: int | None = None,
 ) -> DataFrame:
     """Reduce to the single max-(ts, seq) event per key. Whole-row winner."""
-    cols = df.columns
-    row = F.struct(*[F.col(c) for c in cols]).alias("_row")
+    # The key stays a TOP-LEVEL grouping column (not packed into the struct):
+    # the agg's hash(key) output partitioning then survives the projection, so
+    # a downstream join on the key (the lake MERGE) reuses this exchange
+    # instead of re-shuffling the whole batch — one shuffle serves both.
+    others = [c for c in df.columns if c != key]
+    row = F.struct(*[F.col(c) for c in others]).alias("_row")
     order = F.struct(F.col(ts_col), F.col(seq_col))
 
     if salt_partitions and salt_partitions > 1:
         salt = F.pmod(F.xxhash64(F.col(seq_col)), F.lit(salt_partitions)).alias("_salt")
         phase1 = (
-            df.select(row, order.alias("_ord"), F.col(key).alias("_k"), salt)
-            .groupBy("_k", "_salt")
+            df.select(F.col(key), row, order.alias("_ord"), salt)
+            .groupBy(key, "_salt")
             .agg(F.max_by(F.col("_row"), F.col("_ord")).alias("_row"),
                  F.max(F.col("_ord")).alias("_ord"))
         )
         winners = (
-            phase1.groupBy("_k")
+            phase1.groupBy(key)
             .agg(F.max_by(F.col("_row"), F.col("_ord")).alias("_row"))
         )
-        return winners.select("_row.*")
+        return winners.select(key, "_row.*")
 
     return (
-        df.groupBy(F.col(key).alias("_k"))
+        df.groupBy(key)
         .agg(F.max_by(row, order).alias("_row"))
-        .select("_row.*")
+        .select(key, "_row.*")
     )

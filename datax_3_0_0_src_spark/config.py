@@ -32,19 +32,41 @@ class JobSpec:
     transformers: list[dict] = field(default_factory=list)
     speed: dict = field(default_factory=dict)       # {"channel": N}
     error_limit: dict = field(default_factory=dict)  # {"record": N, "percentage": f}
+    pre_sql: list[str] = field(default_factory=list)   # F15: writer preSql
+    post_sql: list[str] = field(default_factory=list)  # F15: writer postSql
 
     @classmethod
     def from_json(cls, text: str) -> "JobSpec":
         d = json.loads(text)
         content = d["job"]["content"][0] if "job" in d else d
         setting = d.get("job", {}).get("setting", {})
+        wp = content["writer"].get("parameter", {})
         return cls(
             reader=content["reader"],
             writer=content["writer"],
             transformers=content.get("transformer", []),
             speed=setting.get("speed", {}),
             error_limit=setting.get("errorLimit", {}),
+            pre_sql=wp.get("preSql", []),
+            post_sql=wp.get("postSql", []),
         )
+
+
+_SECRET_MARKERS = ("password", "accesskey", "secret", "token")
+
+
+def mask_secrets(conf: Any) -> Any:
+    """Engine.filterSensitiveConfiguration (core/.../Engine.java:254-264):
+    mask *password* / *accessKey*-style values before logging a job spec."""
+    if isinstance(conf, dict):
+        return {
+            k: ("*****" if any(m in k.lower() for m in _SECRET_MARKERS)
+                else mask_secrets(v))
+            for k, v in conf.items()
+        }
+    if isinstance(conf, list):
+        return [mask_secrets(v) for v in conf]
+    return conf
 
 
 # the five built-in transformers by their DataX registry names
@@ -65,12 +87,16 @@ def _apply_transformer(df: DataFrame, t: dict) -> DataFrame:
     raise KeyError(f"unknown transformer {name!r}")
 
 
-def run_job(spark: SparkSession, spec: JobSpec | dict | str):
-    """Execute reader -> transformers -> writer (JobContainer.start lite)."""
+def run_job(spark: SparkSession, spec: JobSpec | dict | str, *, hooks: list | None = None):
+    """Execute preSql -> reader -> transformers -> writer -> postSql -> hooks
+    (JobContainer.start lite; hooks mirror the SPI Hook.invoke(conf, metrics)
+    post-job callbacks, common/.../spi/Hook.java:10-25 + HookInvoker)."""
     if isinstance(spec, str):
         spec = JobSpec.from_json(spec)
     elif isinstance(spec, dict):
         spec = JobSpec.from_json(json.dumps(spec))
+    for sql in spec.pre_sql:
+        spark.sql(sql)
     df = read_source(spark, spec.reader)
     for t in spec.transformers:
         df = _apply_transformer(df, t)
@@ -78,4 +104,9 @@ def run_job(spark: SparkSession, spec: JobSpec | dict | str):
     if channels:
         # adjustChannelNumber (JobContainer.java:508-588): explicit parallelism
         df = df.repartition(int(channels))
-    return write_sink(df, spec.writer)
+    result = write_sink(df, spec.writer)
+    for sql in spec.post_sql:
+        spark.sql(sql)
+    for hook in hooks or []:
+        hook(mask_secrets({"reader": spec.reader, "writer": spec.writer}), result)
+    return result

@@ -217,7 +217,12 @@ class LakeTable:
         cols = []
         for f in user_schema.fields:
             if f.name in batch_fields:
-                c = F.col(f.name).cast(f.dataType)
+                c = F.col(f.name)
+                if batch_fields[f.name].dataType != f.dataType:
+                    c = c.cast(f.dataType)
+                # else: leave the bare attribute — a no-op cast would discard
+                # the batch's hash(key) output partitioning and force an extra
+                # shuffle in the merge join
             else:
                 c = F.lit(None).cast(f.dataType)
             if f.name not in (key, ts_col):

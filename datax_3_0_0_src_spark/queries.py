@@ -250,6 +250,30 @@ FROM s GROUP BY user_id, session_id ORDER BY user_id, session_id
 """
 
 
+def events_json_extract(spark, sf_dir):
+    """Semi-structured scalar path: JSON prop extraction + typed cast
+    (the rdbms reader's per-cell dynamic typing, CommonRdbmsReader.java:241-350,
+    as declarative expressions)."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("int")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.sum("k").alias("sum_k"),
+             F.round(F.avg("k"), 6).alias("avg_k"))
+        .orderBy("event_type")
+    )
+
+
+EVENTS_JSON_SQL = """
+SELECT event_type, count(*) AS n,
+       sum(CAST(json_extract_string(props, '$.k') AS INT)) AS sum_k,
+       round(avg(CAST(json_extract_string(props, '$.k') AS INT)), 6) AS avg_k
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
 def events_minutely(spark, sf_dir):
     """Streaming-style tumbling-window aggregate (batch expression)."""
     ev = _t(spark, sf_dir, "events")
@@ -509,6 +533,7 @@ QUERIES: dict[str, Query] = {
     "tpch_q5_nation_revenue": tpch_q5_nation_revenue,
     "top_order_per_customer": top_order_per_customer,
     "events_sessionize": events_sessionize,
+    "events_json_extract": events_json_extract,
     "events_minutely": events_minutely,
     "transform_pipeline": transform_pipeline,
     "doc_token_stats": doc_token_stats,
@@ -533,6 +558,7 @@ ORACLES: dict[str, str] = {
     "tpch_q5_nation_revenue": TPCH_Q5_SQL,
     "top_order_per_customer": TOP_ORDER_SQL,
     "events_sessionize": SESSIONIZE_SQL,
+    "events_json_extract": EVENTS_JSON_SQL,
     "events_minutely": EVENTS_MINUTELY_SQL,
     "transform_pipeline": TRANSFORM_SQL,
     "doc_token_stats": DOC_TOKEN_STATS_SQL,
