@@ -35,7 +35,7 @@ sys.path.insert(0, REPO)
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-N_EVENTS = int(os.environ.get("BENCH_EVENTS", "4000000"))
+N_EVENTS = int(os.environ.get("BENCH_EVENTS", "2000000"))
 REPS = int(os.environ.get("BENCH_REPS", "2"))
 SHM = "/dev/shm" if os.path.isdir("/dev/shm") else os.environ.get("TMPDIR", "/tmp")
 WAL_CACHE = os.path.join(SHM, f"datax_bench_wal_{N_EVENTS}")

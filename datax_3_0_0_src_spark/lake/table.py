@@ -364,6 +364,57 @@ class LakeTable:
         return MergeStats(version, 0, 0, 0, n_new)
 
     # --------------------------------------------------------- maintenance
+    def compact(self, *, target_files_per_bucket: int = 1,
+                buckets: list[int] | None = None) -> MergeStats:
+        """Rewrite fragmented buckets into ~target_files_per_bucket files each
+        (Iceberg rewrite_data_files equivalent). Metadata-only for buckets
+        already at/below the target; commits one new snapshot. Tombstones are
+        preserved (they guard against late-event resurrection)."""
+        snap = self.snapshot()
+        user_schema = StructType.fromJson(__import__("json").loads(snap.schema_json))
+        phys = self._physical_schema(user_schema)
+        key = snap.properties["key"]
+        todo = [
+            int(b) for b, fs in snap.files.items()
+            if len(fs) > target_files_per_bucket
+            and (buckets is None or int(b) in buckets)
+        ]
+        if not todo:
+            return MergeStats(snap.version, 0, 0, 0, 0, {})
+        df = self._read_files([f for b in todo for f in snap.bucket_files(b)], phys)
+        df = df.withColumn(SYS_BUCKET, self._bucket_expr(key))
+        if target_files_per_bucket == 1:
+            df = df.repartition(len(todo), F.col(SYS_BUCKET))
+        else:
+            df = df.repartition(
+                len(todo) * target_files_per_bucket, F.col(SYS_BUCKET),
+                F.pmod(F.xxhash64(F.col(key)), F.lit(target_files_per_bucket)),
+            )
+        version = snap.version + 1
+        rel_dir = f"data/v{version:08d}"
+        out_dir = os.path.join(self.path, rel_dir)
+        df.write.mode("errorifexists").partitionBy(SYS_BUCKET).parquet(out_dir)
+        new_files = {b: list(fs) for b, fs in snap.files.items() if int(b) not in todo}
+        n_new = 0
+        for b in todo:
+            bdir = os.path.join(out_dir, f"{SYS_BUCKET}={b}")
+            if os.path.isdir(bdir):
+                fs = sorted(
+                    f"{rel_dir}/{SYS_BUCKET}={b}/{fn}"
+                    for fn in os.listdir(bdir) if fn.endswith(".parquet")
+                )
+                if fs:
+                    new_files[str(b)] = fs
+                    n_new += len(fs)
+        new_snap = Snapshot(
+            version=version, parent=snap.version, schema_json=snap.schema_json,
+            num_buckets=snap.num_buckets, files=new_files,
+            properties=dict(snap.properties),
+            summary={"compacted_buckets": len(todo), "new_files": n_new},
+        )
+        write_snapshot(self.path, new_snap)
+        return MergeStats(version, len(todo), 0, 0, n_new, {})
+
     def expire_snapshots(self, keep_last: int = 2) -> int:
         """Delete data files referenced only by expired snapshots (GC).
 

@@ -152,3 +152,26 @@ def test_empty_batch_commits_metadata_snapshot(spark, tmp_table_dir):
     stats = t.merge(batch(spark, []), properties={"checkpoint_epoch": 0})
     assert stats.version == 1 and stats.batch_rows == 0
     assert t.read().count() == 0
+
+
+def test_compact_reduces_files_preserves_state(spark, tmp_table_dir):
+    t = make_table(spark, tmp_table_dir, nb=4)
+    # COW merges rewrite whole buckets (never fragment); appends DO fragment
+    for e in range(3):
+        rows = [(f"u{e}_{i}", f"2024-01-0{e+1}T00:00:{i:02d}", "<x>", f"T{i}e{e}",
+                 "en", e * 100 + i, "I") for i in range(12)]
+        t.append(batch(spark, rows).drop("log_offset", "op"))
+    t.merge(batch(spark, [("u0_0", "2024-01-09T00:00:00", None, None, None, 999, "D")]))
+    before = state(t)
+    n_files_before = len(t.snapshot().all_files())
+    stats = t.compact(target_files_per_bucket=1)
+    assert stats.version == t.snapshot().version
+    n_files_after = len(t.snapshot().all_files())
+    assert n_files_after < n_files_before
+    assert n_files_after <= 4  # <= one file per bucket
+    assert state(t) == before  # data identical
+    # tombstone must survive compaction (blocks late-event resurrection)
+    t.merge(batch(spark, [("u0_0", "2024-01-05T00:00:00", "<x>", "STALE", "en", 1000, "U")]))
+    assert "u0_0" not in state(t)
+    # idempotent: nothing left to compact
+    assert t.compact(target_files_per_bucket=1).touched_buckets == 0
