@@ -104,6 +104,55 @@ def cdc_replay_snapshot(spark, sf_dir):
     return rep.table.read().select("url", "warc_ts", "text", "lang")
 
 
+def cdc_cell_changes(spark, sf_dir):
+    """Cell-change output mode: one row per changed cell with an op tag and a
+    per-event sequence id — the reference's MULTI_VERSION record shape
+    (otsstreamreader/.../core/MultiVerModeRecordSender.java:11-65, op U/DR;
+    sequence id append mirrors SingleVerAndUpOnlyModeRecordSender.java:94-100).
+    Expressed over the shared events fixture: each event unpivots to
+    (key, cell, value) rows; 'error' events emit a single delete-row (DR) cell."""
+    ev = _t(spark, sf_dir, "events")
+    seq = F.concat_ws("_", F.unix_micros(F.col("ts").cast("timestamp_ltz")),
+                      F.col("event_id"))
+    base = ev.select(
+        F.col("user_id").alias("key"),
+        F.col("event_id"),
+        seq.alias("seq_id"),
+        F.col("event_type"),
+        F.round("value", 6).cast("string").alias("value_str"),
+        F.col("props"),
+    )
+    upd = base.filter(F.col("event_type") != "error").select(
+        "key", "event_id", "seq_id",
+        F.expr("stack(2, 'value', value_str, 'props', props)").alias("cell", "new_value"),
+        F.lit("U").alias("op"),
+    )
+    dels = base.filter(F.col("event_type") == "error").select(
+        "key", "event_id", "seq_id",
+        F.lit(None).cast("string").alias("cell"),
+        F.lit(None).cast("string").alias("new_value"),
+        F.lit("DR").alias("op"),
+    )
+    return upd.unionByName(dels)
+
+
+CDC_CELL_CHANGES_SQL = """
+WITH base AS (
+  SELECT user_id AS key, event_id,
+         CAST(epoch_us(ts) AS VARCHAR) || '_' || CAST(event_id AS VARCHAR) AS seq_id,
+         event_type, CAST(round(value, 6) AS VARCHAR) AS value_str, props
+  FROM events)
+SELECT key, event_id, seq_id, 'value' AS cell, value_str AS new_value, 'U' AS op
+FROM base WHERE event_type <> 'error'
+UNION ALL
+SELECT key, event_id, seq_id, 'props' AS cell, props AS new_value, 'U' AS op
+FROM base WHERE event_type <> 'error'
+UNION ALL
+SELECT key, event_id, seq_id, NULL AS cell, NULL AS new_value, 'DR' AS op
+FROM base WHERE event_type = 'error'
+"""
+
+
 # ============================================================ relational/TPCH
 def tpch_q1_pricing(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
@@ -528,6 +577,7 @@ QUERIES: dict[str, Query] = {
     "cdc_lww_latest": cdc_lww_latest,
     "cdc_apply_changes": cdc_apply_changes,
     "cdc_replay_snapshot": cdc_replay_snapshot,
+    "cdc_cell_changes": cdc_cell_changes,
     "tpch_q1_pricing": tpch_q1_pricing,
     "tpch_q3_shipping": tpch_q3_shipping,
     "tpch_q5_nation_revenue": tpch_q5_nation_revenue,
@@ -553,6 +603,7 @@ QUERIES: dict[str, Query] = {
 ORACLES: dict[str, str] = {
     "cdc_lww_latest": CDC_LWW_LATEST_SQL,
     "cdc_apply_changes": CDC_APPLY_CHANGES_SQL,
+    "cdc_cell_changes": CDC_CELL_CHANGES_SQL,
     "tpch_q1_pricing": TPCH_Q1_SQL,
     "tpch_q3_shipping": TPCH_Q3_SQL,
     "tpch_q5_nation_revenue": TPCH_Q5_SQL,
