@@ -60,14 +60,27 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.5,
     max_shingle_df: int | None = 1000,
+    candidates: DataFrame | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs with n-gram Jaccard >= threshold.
 
     shingle-inverted-index self-join; hot shingles (appearing in more than
     ``max_shingle_df`` docs) are dropped before the join — they carry almost no
     discriminating signal and would otherwise create quadratic join blowup.
+
+    ``candidates``: optional (id_a, id_b) pair DataFrame. When given, the
+    shingle self-join is restricted to candidate documents BEFORE the pair
+    aggregation (semi-join pushdown), so cost is bounded by the candidate set
+    — this is the LSH verify path, never the full corpus-squared join.
     """
     sh = doc_shingles(df, id_col, text_col, n)
+    if candidates is not None:
+        cand_ids = (
+            candidates.select(F.col("id_a").alias("_id"))
+            .unionByName(candidates.select(F.col("id_b").alias("_id")))
+            .distinct()
+        )
+        sh = sh.join(F.broadcast(cand_ids), "_id", "left_semi")
     if max_shingle_df:
         hot = (
             sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df_"))
@@ -92,6 +105,10 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "n_common", "jaccard")
     )
+    if candidates is not None:
+        # docs can share a bucket with two different partners; keep only the
+        # actual candidate PAIRS (broadcast inner join — candidate set is small)
+        out = out.join(F.broadcast(candidates.select("id_a", "id_b")), ["id_a", "id_b"])
     return out
 
 
@@ -116,6 +133,39 @@ def minhash_signatures(
     return df.select(*cols)
 
 
+def band_hash_expr(parts, band: int):
+    """Cross-engine band bucket hash: left fold (acc*131 + mh) % 1e9+7 over the
+    band's minhash values, seeded with band+1 (so bands never collide).
+    DuckDB twin: list_reduce(list_prepend(band+1, [mh...]), ...)."""
+    return F.aggregate(
+        F.array(*parts),
+        F.lit(band + 1).cast("long"),
+        lambda acc, h: (acc * 131 + h) % FP_MOD,
+    )
+
+
+def minhash_lsh_buckets(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    bands: int = 4,
+    shingle_n: int = 2,
+) -> DataFrame:
+    """(_id, band, bucket) rows — one per (doc, band). Narrow map, no shuffle."""
+    rows_per_band = k // bands
+    sig = minhash_signatures(df, id_col=id_col, text_col=text_col, k=k, shingle_n=shingle_n)
+    band_cols = []
+    for bnd in range(bands):
+        parts = [F.col(f"mh{bnd * rows_per_band + j}") for j in range(rows_per_band)]
+        band_cols.append(band_hash_expr(parts, bnd))
+    return sig.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(F.array(*band_cols)).alias("band", "bucket"),
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     *,
@@ -129,31 +179,28 @@ def minhash_lsh_pairs(
     """MinHash + LSH banding near-dup detection (the 100 TB-scale path).
 
     signatures -> band buckets -> candidate pairs within a bucket ->
-    verification by real n-gram Jaccard. Only candidates are verified, so the
-    expensive join is bounded by collision counts, not corpus size squared.
-    """
-    rows_per_band = k // bands
-    sig = minhash_signatures(df, id_col=id_col, text_col=text_col, k=k, shingle_n=shingle_n)
-    band_cols = []
-    for bnd in range(bands):
-        parts = [F.col(f"mh{bnd * rows_per_band + j}") for j in range(rows_per_band)]
-        band_cols.append(F.xxhash64(F.lit(bnd), *parts).alias(f"band{bnd}"))
-    banded = sig.select(F.col(id_col).alias("_id"), *band_cols)
-    buckets = banded.select(
-        "_id",
-        F.explode(F.array(*[F.col(f"band{bnd}") for bnd in range(bands)])).alias("bucket"),
+    verification by real n-gram Jaccard restricted to the candidate set (the
+    shingle self-join is semi-joined to candidate ids BEFORE the pair
+    aggregation), so the expensive join is bounded by collision counts, not
+    corpus size squared."""
+    buckets = minhash_lsh_buckets(
+        df, id_col=id_col, text_col=text_col, k=k, bands=bands, shingle_n=shingle_n
     )
     a, b = buckets.alias("a"), buckets.alias("b")
     cand = (
-        a.join(b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a._id") < F.col("b._id")))
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
         .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
         .distinct()
     )
-    verified = ngram_jaccard_pairs(
+    return ngram_jaccard_pairs(
         df, id_col=id_col, text_col=text_col, n=shingle_n,
-        threshold=jaccard_threshold, max_shingle_df=None,
-    ).join(cand, ["id_a", "id_b"])
-    return verified
+        threshold=jaccard_threshold, max_shingle_df=None, candidates=cand,
+    )
 
 
 def simhash(df: DataFrame, *, id_col: str = "doc_id", text_col: str = "text", bits: int = 16) -> DataFrame:

@@ -73,18 +73,21 @@ FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_
 """
 
 
+_REPLAY_BASE = os.path.join(tempfile.gettempdir(), "cdc_replay_snapshot_42_20000")
+
+
 def cdc_replay_snapshot(spark, sf_dir):
     """Flagship: full engine replay of a deterministic synthetic WAL (the
-    BASELINE input_hint pages table). Not SQL-expressible (stateful multi-epoch
-    MERGE engine) => rows-only driver check; byte-identical correctness is
-    enforced by tests/test_replayer_e2e.py against the pandas oracle."""
+    BASELINE input_hint pages table): validate -> quarantine -> LWW dedup ->
+    Arrow text extraction -> lake MERGE over 4 epochs, resume-safe. The final
+    (url, warc_ts, lang) state has an exact DuckDB twin over the same WAL
+    parquet (validity predicate + LWW window + delete filter); the byte-exact
+    ``text`` invariant is enforced by tests/test_replayer_e2e.py."""
     from .cdc.gen import EventGenConfig, write_event_log
     from .cdc.replayer import ReplayConfig, Replayer
 
     cfg = EventGenConfig(seed=42, n_events=20_000, events_per_epoch=5_000)
-    base = os.path.join(
-        tempfile.gettempdir(), f"cdc_replay_snapshot_{cfg.seed}_{cfg.n_events}"
-    )
+    base = _REPLAY_BASE
     log_dir = os.path.join(base, "wal")
     if not os.path.isdir(log_dir):
         write_event_log(spark, cfg, log_dir, slices=8)
@@ -101,7 +104,25 @@ def cdc_replay_snapshot(spark, sf_dir):
         ),
     )
     rep.run()
-    return rep.table.read().select("url", "warc_ts", "text", "lang")
+    return rep.table.read().select("url", "warc_ts", "lang")
+
+
+# The driver runs the Spark query first, which materializes the WAL at this
+# fixed path; the oracle then replays it declaratively: validity rules
+# (cdc/quarantine.py byte checks) -> LWW window on (warc_ts, log_offset) ->
+# tombstone filter. html is valid UTF-8 by construction => VARCHAR cast is
+# byte-faithful for the prefix/suffix checks.
+CDC_REPLAY_SQL = f"""
+WITH w AS (SELECT * FROM read_parquet('{_REPLAY_BASE}/wal/epoch=*/*.parquet')),
+v AS (SELECT * FROM w
+      WHERE url IS NOT NULL AND warc_ts IS NOT NULL
+        AND (op = 'D' OR (html IS NOT NULL
+             AND CAST(html AS VARCHAR) LIKE '<html>%'
+             AND CAST(html AS VARCHAR) LIKE '%</body></html>'))),
+r AS (SELECT *, row_number() OVER (PARTITION BY url
+        ORDER BY warc_ts DESC, log_offset DESC) AS rn FROM v)
+SELECT url, warc_ts, lang FROM r WHERE rn = 1 AND op <> 'D'
+"""
 
 
 def cdc_cell_changes(spark, sf_dir):
@@ -292,8 +313,8 @@ WITH g AS (
               OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
          THEN 1 ELSE 0 END AS new_sess
   FROM events),
-s AS (SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
-      ROWS UNBOUNDED PRECEDING) AS session_id FROM g)
+s AS (SELECT *, CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id FROM g)
 SELECT user_id, session_id, count(*) AS n_events, round(sum(value), 4) AS session_value
 FROM s GROUP BY user_id, session_id ORDER BY user_id, session_id
 """
@@ -317,7 +338,7 @@ def events_json_extract(spark, sf_dir):
 
 EVENTS_JSON_SQL = """
 SELECT event_type, count(*) AS n,
-       sum(CAST(json_extract_string(props, '$.k') AS INT)) AS sum_k,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
        round(avg(CAST(json_extract_string(props, '$.k') AS INT)), 6) AS avg_k
 FROM events GROUP BY event_type ORDER BY event_type
 """
@@ -503,14 +524,20 @@ DOC_SIMHASH_SQL = _simhash_sql(16)
 
 
 def doc_ngram_jaccard(spark, sf_dir):
+    """Jaccard near-dup pairs with the hot-shingle df cap ON (shingles seen in
+    >100 docs carry no discriminating signal and would make the inverted-index
+    self-join quadratic at scale — the cap is the design, mirrored exactly in
+    the oracle's HAVING filter)."""
     return dedup_ops.ngram_jaccard_pairs(
-        _t(spark, sf_dir, "documents"), n=2, threshold=0.2, max_shingle_df=None
+        _t(spark, sf_dir, "documents"), n=2, threshold=0.2, max_shingle_df=100
     )
 
 
 DOC_NGRAM_JACCARD_SQL = f"""
 WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents),
-s AS (SELECT doc_id AS _id, unnest(list_distinct({_SHINGLES2})) AS shingle FROM t),
+s0 AS (SELECT doc_id AS _id, unnest(list_distinct({_SHINGLES2})) AS shingle FROM t),
+hot AS (SELECT shingle FROM s0 GROUP BY shingle HAVING count(*) > 100),
+s AS (SELECT s0._id, s0.shingle FROM s0 ANTI JOIN hot USING (shingle)),
 sizes AS (SELECT _id, count(*) AS n_sh FROM s GROUP BY _id),
 common AS (SELECT a._id AS id_a, b._id AS id_b, count(*) AS n_common
            FROM s a JOIN s b ON a.shingle = b.shingle AND a._id < b._id
@@ -523,10 +550,45 @@ WHERE n_common * 1.0 / (sa.n_sh + sb.n_sh - n_common) >= 0.2
 
 
 def doc_minhash_lsh_pairs(spark, sf_dir):
-    """MinHash+LSH near-dup pipeline (banding + verify) — rows-only check."""
+    """MinHash+LSH near-dup pipeline: banding -> candidate pairs -> Jaccard
+    verify bounded to the candidate set (cross-engine band hash => exact
+    DuckDB oracle)."""
     return dedup_ops.minhash_lsh_pairs(
         _t(spark, sf_dir, "documents"), k=8, bands=4, shingle_n=2, jaccard_threshold=0.2
     )
+
+
+def _minhash_list_sql() -> str:
+    perms = ", ".join(
+        f"list_min(list_transform(hs, h -> (h * {a} + {b}) % 1000000007))"
+        for a, b in dedup_ops.MINHASH_AB[:8]
+    )
+    return f"[{perms}]"
+
+
+DOC_MINHASH_LSH_SQL = f"""
+WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents),
+sh AS (SELECT doc_id, list_distinct({_SHINGLES2}) AS shl FROM t),
+h AS (SELECT doc_id, shl, list_transform(shl, w -> {_WH.format(w='w')}) AS hs FROM sh),
+sig AS (SELECT doc_id, shl, {_minhash_list_sql()} AS mh FROM h),
+bands AS (SELECT doc_id, b AS band,
+            list_reduce(list_prepend(CAST(b + 1 AS BIGINT), mh[b*2+1 : b*2+2]),
+                        (acc, x) -> (acc * 131 + x) % 1000000007) AS bucket
+          FROM sig, UNNEST([0, 1, 2, 3]) AS u(b)),
+cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         FROM bands a JOIN bands b
+           ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+s AS (SELECT doc_id AS _id, unnest(shl) AS shingle FROM sh),
+sizes AS (SELECT _id, count(*) AS n_sh FROM s GROUP BY _id),
+common AS (SELECT a._id AS id_a, b._id AS id_b, count(*) AS n_common
+           FROM s a JOIN s b ON a.shingle = b.shingle AND a._id < b._id
+           SEMI JOIN cand ON cand.id_a = a._id AND cand.id_b = b._id
+           GROUP BY a._id, b._id)
+SELECT id_a, id_b, n_common,
+       round(n_common * 1.0 / (sa.n_sh + sb.n_sh - n_common), 6) AS jaccard
+FROM common JOIN sizes sa ON sa._id = id_a JOIN sizes sb ON sb._id = id_b
+WHERE n_common * 1.0 / (sa.n_sh + sb.n_sh - n_common) >= 0.2
+"""
 
 
 # ================================================================= similarity
@@ -550,10 +612,48 @@ SELECT query_id, rank, neighbor_id, cosine_sim FROM r WHERE rank <= 5
 
 
 def emb_lsh_near_pairs(spark, sf_dir):
-    """Hyperplane-LSH candidate generation + exact verify — rows-only check."""
+    """Hyperplane-LSH candidate generation + exact cosine verify. The planes
+    are integer-derived and the dot products are explicit left folds in both
+    engines, so the DuckDB twin is bit-reproducible."""
     return similarity.lsh_near_pairs(
         _t(spark, sf_dir, "embeddings"), n_planes=6, dim=64, min_cosine=0.25
     )
+
+
+# plane component formula mirrors similarity.hyperplane_lsh_buckets (seed 42);
+# all dot products are left folds (list_reduce) to pin fp summation order.
+EMB_LSH_SQL = """
+WITH planes AS (
+  SELECT b.p AS p,
+         list_transform(range(0, 64), j ->
+           CAST((((42 * 1000003 + b.p * 131 + j * 31) * 2654435761)
+                 % 1000000007) % 2001 - 1000 AS DOUBLE) / 1000.0) AS plane
+  FROM UNNEST([0, 1, 2, 3, 4, 5]) AS b(p)),
+v AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+proj AS (SELECT vec_id, p,
+           list_reduce(list_prepend(0.0,
+             list_transform(range(1, 65), i -> vec[i] * plane[i])),
+             (acc, x) -> acc + x) AS pr
+         FROM v CROSS JOIN planes),
+buck AS (SELECT vec_id,
+           sum(CASE WHEN pr > 0 THEN (CAST(1 AS BIGINT) << p) ELSE 0 END) AS bucket
+         FROM proj GROUP BY vec_id),
+cand AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+         FROM buck a JOIN buck b ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
+pairs AS (SELECT id_a, id_b,
+            list_reduce(list_prepend(0.0,
+              list_transform(range(1, 65), i -> va.vec[i] * vb.vec[i])),
+              (acc, x) -> acc + x) AS dot_ab,
+            sqrt(list_reduce(list_prepend(0.0,
+              list_transform(range(1, 65), i -> va.vec[i] * va.vec[i])),
+              (acc, x) -> acc + x)) AS na,
+            sqrt(list_reduce(list_prepend(0.0,
+              list_transform(range(1, 65), i -> vb.vec[i] * vb.vec[i])),
+              (acc, x) -> acc + x)) AS nb
+          FROM cand JOIN v va ON va.vec_id = id_a JOIN v vb ON vb.vec_id = id_b)
+SELECT id_a, id_b, round(dot_ab / (na * nb), 6) AS cosine_sim
+FROM pairs WHERE round(dot_ab / (na * nb), 6) >= 0.25
+"""
 
 
 def multimodal_media_meta(spark, sf_dir):
@@ -620,7 +720,10 @@ ORACLES: dict[str, str] = {
     "doc_minhash_signatures": DOC_MINHASH_SQL,
     "doc_simhash": DOC_SIMHASH_SQL,
     "doc_ngram_jaccard": DOC_NGRAM_JACCARD_SQL,
+    "doc_minhash_lsh_pairs": DOC_MINHASH_LSH_SQL,
     "emb_cosine_topk": EMB_COSINE_TOPK_SQL,
-    # no oracle (rows-only): cdc_replay_snapshot, doc_minhash_lsh_pairs,
-    # emb_lsh_near_pairs — stateful engine / LSH pipelines, not SQL-expressible
+    "emb_lsh_near_pairs": EMB_LSH_SQL,
+    "cdc_replay_snapshot": CDC_REPLAY_SQL,
+    # no oracle (rows-only): multimodal_media_meta until the payload fixture
+    # carries real containers (operators/multimodal.py parses real headers)
 }
