@@ -51,7 +51,7 @@ class ReplayConfig:
     log_dir: str                      # WAL: parquet segments partitioned by epoch
     table_path: str                   # target LakeTable (created if missing)
     work_dir: str                     # checkpoints/, quarantine/, metrics/
-    num_buckets: int = 16
+    num_buckets: int = 16             # used at table CREATION; existing tables keep theirs
     max_events_per_batch: int | None = None  # rate cap: split epochs into sub-batches
     salt_partitions: int | None = None       # two-phase dedup for hot keys
     error_record_limit: int | None = None
@@ -62,6 +62,14 @@ class ReplayConfig:
     seq_col: str = "log_offset"
     op_col: str = "op"
     extra_table_props: dict = field(default_factory=dict)
+    # merge strategy: "mor" (delta files, O(batch) writes — the scale default)
+    # or "cow" (rewrite touched buckets per batch)
+    merge_mode: str = "mor"
+    compact_every: int | None = None   # fold MOR deltas every N batches
+    compact_target_files: int = 2      # files/bucket after a fold
+    batch_timeout_s: float | None = None   # F13: cancel a wedged batch (watchdog)
+    report_interval_s: float | None = None  # F11: periodic counter reporting
+    report_sink: object = None              # callable(str); default print
 
     @property
     def checkpoint_dir(self) -> str:
@@ -118,31 +126,62 @@ class Replayer:
                 out.append(int(m.group(1)))
         return sorted(out)
 
-    def plan_batches(self) -> list[tuple[int, int, int]]:
-        """(batch_id, epoch, sub) for every micro-batch in the WAL.
+    def plan_batches(self) -> list[tuple[int, int, int, int | None, int | None]]:
+        """(batch_id, epoch, sub, lo, hi) for every micro-batch in the WAL;
+        the batch is the offset slice [lo, hi) of its epoch (None = whole
+        epoch). Driver-planned, like reader.split producing task slices.
 
-        An epoch is one WAL segment; the rate cap splits it into sub-batches
-        (driver-planned, like reader.split producing task slices).
+        Slice boundaries are computed ONCE here (not per sub-batch at run
+        time) and are gap-proof: dense offsets get arithmetic bounds; sparse
+        offsets fall back to exact rank-based boundaries, so every event of
+        the epoch lands in exactly one slice even when offsets have holes.
         """
         cap = self.cfg.max_events_per_batch
-        plan: list[tuple[int, int, int]] = []
+        seq = self.cfg.seq_col
+        plan: list[tuple[int, int, int, int | None, int | None]] = []
         bid = 0
         for e in self.log_epochs():
-            subs = 1
-            if cap:
-                n = self._epoch_count(e)
-                subs = max(1, -(-n // cap))
-            for s in range(subs):
-                plan.append((bid, e, s))
+            if not cap:
+                plan.append((bid, e, 0, None, None))
+                bid += 1
+                continue
+            df = self.spark.read.parquet(self._epoch_path(e))
+            row = df.agg(
+                F.min(seq).alias("lo"), F.max(seq).alias("hi"),
+                F.count(F.lit(1)).alias("n"),
+            ).collect()[0]
+            lo, hi, n = row["lo"], row["hi"], int(row["n"])
+            if n == 0:
+                plan.append((bid, e, 0, None, None))
+                bid += 1
+                continue
+            if hi - lo + 1 == n:
+                # dense offsets: arithmetic slice bounds, no extra scan
+                subs = -(-n // cap)
+                bounds = [lo + s * cap for s in range(subs)] + [hi + 1]
+            else:
+                # offset gaps: exact boundaries at ranks 0, cap, 2*cap, ...
+                # (one ordered pass per epoch at PLAN time; collects only
+                # n/cap boundary values, never the data)
+                from pyspark.sql import Window
+
+                w = Window.orderBy(seq)
+                starts = [
+                    r[0]
+                    for r in df.select(F.col(seq))
+                    .withColumn("_rn", F.row_number().over(w))
+                    .filter((F.col("_rn") - 1) % cap == 0)
+                    .select(seq)
+                    .collect()
+                ]
+                bounds = sorted(starts) + [hi + 1]
+            for s in range(len(bounds) - 1):
+                plan.append((bid, e, s, bounds[s], bounds[s + 1]))
                 bid += 1
         return plan
 
     def _epoch_path(self, epoch: int) -> str:
         return os.path.join(self.cfg.log_dir, f"epoch={epoch}")
-
-    def _epoch_count(self, epoch: int) -> int:
-        # parquet footer count — metadata-only scan
-        return self.spark.read.parquet(self._epoch_path(epoch)).count()
 
     def read_epoch(self, epoch: int) -> DataFrame:
         """One WAL segment; its files' own schema (=> additive evolution
@@ -152,12 +191,16 @@ class Replayer:
         )
 
     # ---------------------------------------------------------- checkpoints
-    def _ckpt_path(self, batch_id: int) -> str:
-        return os.path.join(self.cfg.checkpoint_dir, f"batch-{batch_id:08d}.json")
+    def _ckpt_path(self, epoch: int, sub: int) -> str:
+        # keyed by (epoch, sub) — batch ids are run-relative enumerations and
+        # would collide when an out-of-order epoch arrives between runs
+        return os.path.join(
+            self.cfg.checkpoint_dir, f"epoch-{epoch:010d}-sub-{sub:04d}.json"
+        )
 
     def _write_checkpoint(self, res: BatchResult) -> None:
         _atomic_write(
-            self._ckpt_path(res.batch_id),
+            self._ckpt_path(res.epoch, res.sub),
             json.dumps(
                 {
                     "batch_id": res.batch_id,
@@ -172,19 +215,22 @@ class Replayer:
             exclusive=False,
         )
 
+    def _read_checkpoints(self) -> list[dict]:
+        d = self.cfg.checkpoint_dir
+        if not os.path.isdir(d):
+            return []
+        out = []
+        for f in sorted(os.listdir(d)):
+            if f.endswith(".json"):
+                with open(os.path.join(d, f)) as fh:
+                    out.append(json.load(fh))
+        return out
+
     def last_committed_batch(self) -> int:
         """MAX(checkpoint files, table snapshot property) — heals a crash
         between snapshot commit and checkpoint write (commit reconcile)."""
-        from_ckpt = -1
-        d = self.cfg.checkpoint_dir
-        if os.path.isdir(d):
-            ids = [
-                int(m.group(1))
-                for f in os.listdir(d)
-                if (m := re.fullmatch(r"batch-(\d+)\.json", f))
-            ]
-            if ids:
-                from_ckpt = max(ids)
+        ids = [int(c["batch_id"]) for c in self._read_checkpoints()]
+        from_ckpt = max(ids) if ids else -1
         from_table = self.table.property("last_batch_id", -1)
         if from_table > from_ckpt:
             # reconcile: snapshot committed but checkpoint lost — rewrite it
@@ -200,35 +246,86 @@ class Replayer:
             )
         return max(from_ckpt, from_table)
 
+    def committed_pairs(self) -> set[tuple[int, int]]:
+        """Set of committed (epoch, sub) pairs, from checkpoint files.
+
+        Resume skips exactly these — NOT everything below a max batch id — so
+        a late-arriving epoch numerically below already-committed ones is
+        still processed (no silent drops on out-of-order epoch arrival).
+        ``last_committed_batch()`` must run first (it heals the
+        crash-between-commit-and-checkpoint case by re-deriving the missing
+        checkpoint from the table snapshot's properties)."""
+        return {
+            (int(c["epoch"]), int(c.get("sub", 0))) for c in self._read_checkpoints()
+        }
+
     # -------------------------------------------------------------- running
     def run(self, *, stop_after_batches: int | None = None) -> list[BatchResult]:
         """Replay all uncommitted micro-batches. Safe to re-run / resume."""
-        done = self.last_committed_batch()
+        from .monitor import PeriodicReporter
+
+        self.last_committed_batch()  # heal a lost checkpoint before resume
+        done = self.committed_pairs()
+        reporter = None
+        if self.cfg.report_interval_s:
+            sink = self.cfg.report_sink if callable(self.cfg.report_sink) else print
+            reporter = PeriodicReporter(self.cfg.report_interval_s, sink=sink).start()
         results: list[BatchResult] = []
-        for batch_id, epoch, sub in self.plan_batches():
-            if batch_id <= done:
-                continue  # committed-epoch guard: exactly-once on re-run
-            results.append(self._run_batch(batch_id, epoch, sub))
-            if stop_after_batches is not None and len(results) >= stop_after_batches:
-                break
+        try:
+            for batch_id, epoch, sub, lo, hi in self.plan_batches():
+                if (epoch, sub) in done:
+                    continue  # committed-batch guard: exactly-once on re-run
+                res = self._run_batch(batch_id, epoch, sub, lo, hi)
+                results.append(res)
+                if reporter:
+                    reporter.update(
+                        events_read=res.events_read,
+                        events_applied=res.events_applied,
+                        events_quarantined=res.events_quarantined,
+                        batches=1,
+                    )
+                if (
+                    self.cfg.compact_every
+                    and len(results) % self.cfg.compact_every == 0
+                ):
+                    self.table.compact(
+                        target_files_per_bucket=self.cfg.compact_target_files
+                    )
+                if stop_after_batches is not None and len(results) >= stop_after_batches:
+                    break
+        finally:
+            if reporter:
+                reporter.stop()
         return results
 
-    def _run_batch(self, batch_id: int, epoch: int, sub: int) -> BatchResult:
+    def _run_batch(
+        self, batch_id: int, epoch: int, sub: int,
+        lo: int | None = None, hi: int | None = None,
+    ) -> BatchResult:
+        cfg = self.cfg
+        if cfg.batch_timeout_s:
+            from .monitor import HungTaskGuard
+
+            with HungTaskGuard(self.spark, cfg.batch_timeout_s, f"cdc-batch-{batch_id}"):
+                return self._run_batch_inner(batch_id, epoch, sub, lo, hi)
+        return self._run_batch_inner(batch_id, epoch, sub, lo, hi)
+
+    def _run_batch_inner(
+        self, batch_id: int, epoch: int, sub: int,
+        lo: int | None, hi: int | None,
+    ) -> BatchResult:
         cfg = self.cfg
         t0 = time.monotonic()
         ev = self.read_epoch(epoch)
-        if cfg.max_events_per_batch:
-            # rate cap: offset-range slice (predicate pushed to parquet scan)
-            lo = self.spark.read.parquet(self._epoch_path(epoch)).agg(
-                F.min(cfg.seq_col)
-            ).collect()[0][0]
-            start = lo + sub * cfg.max_events_per_batch
-            end = start + cfg.max_events_per_batch
-            ev = ev.filter((F.col(cfg.seq_col) >= start) & (F.col(cfg.seq_col) < end))
+        if lo is not None:
+            # rate cap: offset-range slice (predicate pushed to parquet scan);
+            # bounds were planned once in plan_batches — no per-batch jobs here
+            ev = ev.filter((F.col(cfg.seq_col) >= lo) & (F.col(cfg.seq_col) < hi))
 
+        nb = self.table.num_buckets  # the table's persisted count, NOT cfg's
         bucket = F.when(
             F.col(cfg.key).isNull(), F.lit(-1)
-        ).otherwise(F.pmod(F.xxhash64(F.col(cfg.key)), F.lit(cfg.num_buckets)).cast("int"))
+        ).otherwise(F.pmod(F.xxhash64(F.col(cfg.key)), F.lit(nb)).cast("int"))
         # NB: deliberately NOT cached. Caching these wide binary rows in the
         # columnar in-memory store anti-scales badly at high core counts
         # (measured 2.4x slowdown at local[32]); the parquet re-scan is cheap
@@ -257,24 +354,24 @@ class Replayer:
             ).write.mode("overwrite").parquet(qpath))
             lap("quarantine_write")
 
-            # ---- per-partition read/dirty/bytes + plan counts (ONE agg) ---
-            # count_distinct(valid url) per bucket == exactly the post-LWW
-            # winner count per bucket, so the MERGE can skip its own planning
-            # pass and evaluate the (Arrow-UDF-bearing) batch pipeline once.
+            # ---- per-partition read/dirty/bytes (+ plan counts, cow only) --
+            # For COW, count_distinct(valid url) per bucket == exactly the
+            # post-LWW winner count per bucket, so the MERGE can skip its own
+            # planning pass and evaluate the Arrow-UDF pipeline once. MOR
+            # never needs a plan (counts come from the written footers), so
+            # the expensive distinct is skipped there.
             from .quarantine import reason_col
             valid = reason_col(cfg.op_col).isNull()
-            stat = (
-                ev.groupBy(SYS_BUCKET)
-                .agg(
-                    F.count(F.lit(1)).alias("events_read"),
-                    F.sum(F.when(~valid, 1).otherwise(0)).alias("n_dirty"),
-                    F.count_distinct(
-                        F.when(valid, F.col(cfg.key))
-                    ).alias("n_winners"),
-                    F.sum(F.octet_length("html")).alias("bytes_in"),
+            aggs = [
+                F.count(F.lit(1)).alias("events_read"),
+                F.sum(F.when(~valid, 1).otherwise(0)).alias("n_dirty"),
+                F.sum(F.octet_length("html")).alias("bytes_in"),
+            ]
+            if cfg.merge_mode == "cow":
+                aggs.append(
+                    F.count_distinct(F.when(valid, F.col(cfg.key))).alias("n_winners")
                 )
-                .collect()
-            )
+            stat = ev.groupBy(SYS_BUCKET).agg(*aggs).collect()
             lap("stat_agg")
             events_read = int(sum(r["events_read"] for r in stat))
             dirty_count = int(sum(r["n_dirty"] for r in stat))
@@ -299,16 +396,19 @@ class Replayer:
                 salt_partitions=cfg.salt_partitions,
             ).drop(SYS_BUCKET, "epoch")
 
-            plan = {
-                int(r[SYS_BUCKET]): int(r["n_winners"])
-                for r in stat
-                if r[SYS_BUCKET] is not None and int(r[SYS_BUCKET]) >= 0
-            }
+            plan = None
+            if cfg.merge_mode == "cow":
+                plan = {
+                    int(r[SYS_BUCKET]): int(r["n_winners"])
+                    for r in stat
+                    if r[SYS_BUCKET] is not None and int(r[SYS_BUCKET]) >= 0
+                }
             stats = self.table.merge(
                 winners,
                 seq_col=cfg.seq_col,
                 op_col=cfg.op_col,
                 plan_rows_per_bucket=plan,
+                mode=cfg.merge_mode,
                 properties={
                     "last_batch_id": batch_id,
                     "last_epoch": epoch,

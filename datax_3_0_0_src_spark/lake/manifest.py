@@ -34,6 +34,9 @@ class Snapshot:
     files: dict[str, list[str]] = field(default_factory=dict)
     properties: dict = field(default_factory=dict)
     summary: dict = field(default_factory=dict)
+    # merge-on-read delta files per bucket: unresolved LWW rows layered on top
+    # of ``files`` (the base); compaction folds them down. Same key layout.
+    deltas: dict[str, list[str]] = field(default_factory=dict)
 
     def to_json(self) -> str:
         return json.dumps(
@@ -43,6 +46,7 @@ class Snapshot:
                 "schema_json": self.schema_json,
                 "num_buckets": self.num_buckets,
                 "files": self.files,
+                "deltas": self.deltas,
                 "properties": self.properties,
                 "summary": self.summary,
             },
@@ -61,13 +65,20 @@ class Snapshot:
             files=d["files"],
             properties=d.get("properties", {}),
             summary=d.get("summary", {}),
+            deltas=d.get("deltas", {}),
         )
 
     def bucket_files(self, bucket: int) -> list[str]:
         return self.files.get(str(bucket), [])
 
+    def bucket_deltas(self, bucket: int) -> list[str]:
+        return self.deltas.get(str(bucket), [])
+
     def all_files(self) -> list[str]:
         return [f for lst in self.files.values() for f in lst]
+
+    def all_deltas(self) -> list[str]:
+        return [f for lst in self.deltas.values() for f in lst]
 
 
 def _meta_dir(table_dir: str) -> str:
@@ -81,9 +92,10 @@ def _manifest_path(table_dir: str, version: int) -> str:
 def _atomic_write(path: str, content: str, *, exclusive: bool) -> None:
     """Write content to path atomically via tmp-file + rename.
 
-    ``exclusive=True`` refuses to clobber an existing path (optimistic
-    concurrency: two concurrent committers race on the rename; loser retries
-    on a fresh version).
+    ``exclusive=True`` claims the path atomically via ``os.link`` (EEXIST is
+    raised by the filesystem itself, no check-then-rename window): two
+    concurrent committers race on the link; the loser gets FileExistsError
+    and retries on a fresh version.
     """
     d = os.path.dirname(path)
     os.makedirs(d, exist_ok=True)
@@ -93,9 +105,13 @@ def _atomic_write(path: str, content: str, *, exclusive: bool) -> None:
             f.write(content)
             f.flush()
             os.fsync(f.fileno())
-        if exclusive and os.path.exists(path):
-            raise FileExistsError(f"commit conflict: {path} already exists")
-        os.rename(tmp, path)
+        if exclusive:
+            try:
+                os.link(tmp, path)  # atomic claim: fails with EEXIST for the loser
+            except FileExistsError:
+                raise FileExistsError(f"commit conflict: {path} already exists") from None
+        else:
+            os.rename(tmp, path)
     finally:
         if os.path.exists(tmp):
             os.unlink(tmp)

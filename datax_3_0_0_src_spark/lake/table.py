@@ -4,11 +4,19 @@ Implements the Iceberg subset the CDC engine needs, natively on parquet (no
 Iceberg jars ship in this environment):
 
 - atomic snapshot commits (manifest + pointer swap)            -> exactly-once sinks
-- copy-on-write MERGE INTO by key with LWW ordering            -> upsert/delete apply
-- hash-bucket layout: only buckets touched by a batch rewrite  -> bounded write amp
+- MERGE INTO by key with LWW ordering, two strategies:
+    copy-on-write ("cow"): touched buckets are resolved and rewritten at merge
+      time — reads stay cheap, writes amplify by table_size/batch_size;
+    merge-on-read ("mor", Iceberg v2 style): the batch's winner rows land as
+      per-bucket DELTA files (write cost O(batch), zero table reads), and the
+      LWW resolution happens at read/compact time. This is what lets ingest
+      throughput scale with cores instead of being serialised on whole-table
+      rewrites (BENCH.md round-1 scaling analysis).
+- hash-bucket layout: only buckets touched by a batch change    -> bounded write amp
 - additive schema evolution with null backfill                 -> ALTER TABLE ADD COLUMN
 - tombstoned deletes                                           -> late events can't resurrect rows
 - time travel by snapshot version                              -> audits / resume reconcile
+- compaction folds deltas into the base (rewrite_data_files)
 
 Reference parity: upsert semantics mirror DataX's writeMode=update
 (INSERT ... ON DUPLICATE KEY UPDATE template,
@@ -140,6 +148,24 @@ class LakeTable:
         # explicit schema => additive evolution backfills missing columns as null
         return self.spark.read.schema(schema).parquet(*paths)
 
+    def _resolve_lww(self, df: DataFrame, key: str, ts_col: str) -> DataFrame:
+        """Fold base+delta rows down to one LWW winner per key.
+
+        One hash aggregation with map-side partial combine (``max_by`` over the
+        whole row, ordered by (ts, offset)) — the merge-on-read resolution.
+        Requires at most one row per (key, offset): true by construction, every
+        delta batch is pre-deduped and the base is resolved."""
+        cols = df.columns
+        others = [c for c in cols if c != key]
+        row = F.struct(*[F.col(c) for c in others])
+        order = F.struct(F.col(ts_col), F.coalesce(F.col(SYS_OFFSET), F.lit(-1)))
+        return (
+            df.groupBy(key)
+            .agg(F.max_by(row, order).alias("_row"))
+            .select(key, "_row.*")
+            .select(*cols)
+        )
+
     def read(
         self,
         version: int | None = None,
@@ -153,9 +179,13 @@ class LakeTable:
         phys = self._physical_schema(user_schema)
         if buckets is None:
             files = snap.all_files()
+            dfiles = snap.all_deltas()
         else:
             files = [f for b in buckets for f in snap.bucket_files(b)]
-        df = self._read_files(files, phys)
+            dfiles = [f for b in buckets for f in snap.bucket_deltas(b)]
+        df = self._read_files(files + dfiles, phys)
+        if dfiles:
+            df = self._resolve_lww(df, snap.properties["key"], snap.properties["ts_col"])
         if not include_deleted:
             df = df.filter(~F.coalesce(F.col(SYS_DELETED), F.lit(False)))
         if not with_sys_cols:
@@ -172,8 +202,9 @@ class LakeTable:
         delete_op: str = "D",
         properties: dict | None = None,
         plan_rows_per_bucket: dict[int, int] | None = None,
+        mode: str | None = None,
     ) -> MergeStats:
-        """Copy-on-write MERGE INTO: last-writer-wins upsert/delete by key.
+        """MERGE INTO: last-writer-wins upsert/delete by key.
 
         ``batch`` must contain at most one row per key (use cdc.dedup first),
         the table's key and ts columns, ``seq_col`` (monotone tiebreak, e.g.
@@ -188,12 +219,22 @@ class LakeTable:
           WHEN NOT MATCHED THEN INSERT * (or tombstone for op='D')
         where "newer" = (s.ts, s.seq) > (t.ts, t._lww_offset).
 
+        ``mode``: "cow" resolves and rewrites touched buckets now (cheap reads,
+        write amplification); "mor" appends the batch as per-bucket delta files
+        (O(batch) writes, zero table reads — resolution deferred to
+        read()/compact()). Default comes from the table property
+        ``merge_mode`` (itself defaulting to "cow").
+
         ``plan_rows_per_bucket``: optional precomputed {bucket: row_count} for
-        the batch (e.g. from an upstream per-partition stat pass). When given,
-        the planning aggregation is skipped and the batch pipeline is evaluated
-        exactly once (matters when it embeds expensive stages like Arrow UDFs).
+        the batch (e.g. from an upstream per-partition stat pass). COW-only:
+        when given, the planning aggregation is skipped and the batch pipeline
+        is evaluated exactly once. MOR never needs a plan (per-bucket counts
+        come free from the written parquet footers).
         """
         snap = self.snapshot()
+        mode = mode or snap.properties.get("merge_mode", "cow")
+        if mode not in ("cow", "mor"):
+            raise ValueError(f"merge mode must be 'cow' or 'mor', got {mode!r}")
         key, ts_col, nb = snap.properties["key"], snap.properties["ts_col"], snap.num_buckets
         old_schema = StructType.fromJson(__import__("json").loads(snap.schema_json))
 
@@ -237,8 +278,16 @@ class LakeTable:
         # (uncached: recomputing the batch twice beats caching wide binary
         # rows, which thrashes at high core counts — see cdc/replayer.py)
         s = s.withColumn(SYS_BUCKET, self._bucket_expr(key))
+        if mode == "mor":
+            return self._merge_mor(snap, s, key, user_schema, properties)
         if plan_rows_per_bucket is not None:
             per_bucket = {int(b): int(n) for b, n in plan_rows_per_bucket.items() if n}
+            bad = [b for b in per_bucket if not 0 <= b < nb]
+            if bad:
+                raise ValueError(
+                    f"plan_rows_per_bucket keys {bad} outside range(0, {nb}) — "
+                    f"plan was built with a different bucket count than the table's"
+                )
             batch_deletes = -1  # unknown without the agg; metrics use the plan
         else:
             agg = s.groupBy(SYS_BUCKET).agg(
@@ -255,12 +304,17 @@ class LakeTable:
                 schema_json=user_schema.json(), num_buckets=nb, files=dict(snap.files),
                 properties={**snap.properties, **(properties or {})},
                 summary={"touched_buckets": 0, "batch_rows": 0, "batch_deletes": 0},
+                deltas=dict(snap.deltas),
             )
             write_snapshot(self.path, new_snap)
             return MergeStats(new_snap.version, 0, 0, 0, 0, {})
 
         touched_files = [f for b in touched for f in snap.bucket_files(b)]
-        e = self._read_files(touched_files, phys)
+        touched_deltas = [f for b in touched for f in snap.bucket_deltas(b)]
+        e = self._read_files(touched_files + touched_deltas, phys)
+        if touched_deltas:
+            # a COW merge onto MOR-layered buckets folds their deltas first
+            e = self._resolve_lww(e, key, ts_col)
 
         # --- LWW full-outer resolve ------------------------------------
         e, s = e.alias("e"), s.alias("s")
@@ -293,23 +347,29 @@ class LakeTable:
         version = snap.version + 1
         rel_dir = f"data/v{version:08d}"
         out_dir = os.path.join(self.path, rel_dir)
-        (merged.write.mode("errorifexists").partitionBy(SYS_BUCKET).parquet(out_dir))
+        # overwrite: a crash after the data write but before the manifest
+        # commit leaves an orphan v{N} dir; the retry must be able to reclaim
+        # it (single committer per table — concurrent committers are fenced by
+        # the manifest's exclusive link, not by the data dir)
+        (merged.write.mode("overwrite").partitionBy(SYS_BUCKET).parquet(out_dir))
 
+        written = self._written_buckets(out_dir, rel_dir)
+        stray = sorted(set(written) - set(touched))
+        if stray:
+            raise RuntimeError(
+                f"merge wrote buckets {stray} outside the planned set {touched} — "
+                f"plan_rows_per_bucket disagrees with the table's bucket assignment"
+            )
         new_files: dict[str, list[str]] = {
             b: list(fs) for b, fs in snap.files.items() if int(b) not in touched
         }
         n_new = 0
-        for b in touched:
-            bdir = os.path.join(out_dir, f"{SYS_BUCKET}={b}")
-            if os.path.isdir(bdir):
-                fs = sorted(
-                    f"{rel_dir}/{SYS_BUCKET}={b}/{fn}"
-                    for fn in os.listdir(bdir)
-                    if fn.endswith(".parquet")
-                )
-                if fs:
-                    new_files[str(b)] = fs
-                    n_new += len(fs)
+        for b, fs in written.items():
+            new_files[str(b)] = fs
+            n_new += len(fs)
+        new_deltas = {
+            b: list(fs) for b, fs in snap.deltas.items() if int(b) not in touched
+        }
         new_snap = Snapshot(
             version=version, parent=snap.version,
             schema_json=user_schema.json(), num_buckets=nb, files=new_files,
@@ -320,9 +380,85 @@ class LakeTable:
                 "batch_deletes": batch_deletes,
                 "new_files": n_new,
             },
+            deltas=new_deltas,
         )
         write_snapshot(self.path, new_snap)
         return MergeStats(version, len(touched), batch_rows, batch_deletes, n_new, per_bucket)
+
+    def _written_buckets(self, out_dir: str, rel_dir: str) -> dict[int, list[str]]:
+        """{bucket: sorted file list} for a just-written partitioned dir."""
+        out: dict[int, list[str]] = {}
+        if not os.path.isdir(out_dir):
+            return out
+        for d in sorted(os.listdir(out_dir)):
+            if not d.startswith(f"{SYS_BUCKET}="):
+                continue
+            fs = sorted(
+                f"{rel_dir}/{d}/{fn}"
+                for fn in os.listdir(os.path.join(out_dir, d))
+                if fn.endswith(".parquet")
+            )
+            if fs:
+                out[int(d.split("=", 1)[1])] = fs
+        return out
+
+    def _merge_mor(
+        self,
+        snap: Snapshot,
+        s: DataFrame,
+        key: str,
+        user_schema: StructType,
+        properties: dict | None,
+    ) -> MergeStats:
+        """Merge-on-read apply: write the (pre-deduped) batch as per-bucket
+        delta files and commit. No table reads, no join — per-batch cost is
+        O(batch) regardless of table size; resolution happens in
+        read()/compact(). Per-bucket row counts come from the parquet footers
+        (driver-side metadata, no extra Spark job)."""
+        nb = snap.num_buckets
+        version = snap.version + 1
+        rel_dir = f"data/v{version:08d}"
+        out_dir = os.path.join(self.path, rel_dir)
+
+        # controlled layout: ~write_salt files per touched bucket (without the
+        # repartition every upstream task spills a file into every bucket dir)
+        par = self.spark.sparkContext.defaultParallelism
+        write_salt = max(1, par // nb)
+        s = s.repartition(
+            max(nb * write_salt, 1),
+            F.col(SYS_BUCKET),
+            F.pmod(F.xxhash64(F.col(key)), F.lit(write_salt)),
+        )
+        # overwrite: reclaim an orphan dir from a crashed attempt (see merge)
+        s.write.mode("overwrite").partitionBy(SYS_BUCKET).parquet(out_dir)
+
+        import pyarrow.parquet as pq
+
+        written = self._written_buckets(out_dir, rel_dir)
+        per_bucket = {
+            b: sum(pq.ParquetFile(os.path.join(self.path, f)).metadata.num_rows for f in fs)
+            for b, fs in written.items()
+        }
+        batch_rows = int(sum(per_bucket.values()))
+        n_new = sum(len(fs) for fs in written.values())
+        new_deltas = {b: list(fs) for b, fs in snap.deltas.items()}
+        for b, fs in written.items():
+            new_deltas[str(b)] = new_deltas.get(str(b), []) + fs
+        new_snap = Snapshot(
+            version=version, parent=snap.version,
+            schema_json=user_schema.json(), num_buckets=nb, files=dict(snap.files),
+            properties={**snap.properties, **(properties or {})},
+            summary={
+                "touched_buckets": len(written),
+                "batch_rows": batch_rows,
+                "batch_deletes": -1,
+                "new_files": n_new,
+                "merge_mode": "mor",
+            },
+            deltas=new_deltas,
+        )
+        write_snapshot(self.path, new_snap)
+        return MergeStats(version, len(written), batch_rows, -1, n_new, per_bucket)
 
     # ------------------------------------------------------------- append
     def append(self, df: DataFrame, *, properties: dict | None = None) -> MergeStats:
@@ -339,26 +475,18 @@ class LakeTable:
         version = snap.version + 1
         rel_dir = f"data/v{version:08d}"
         out_dir = os.path.join(self.path, rel_dir)
-        out.write.mode("errorifexists").partitionBy(SYS_BUCKET).parquet(out_dir)
+        out.write.mode("overwrite").partitionBy(SYS_BUCKET).parquet(out_dir)
         new_files = {b: list(fs) for b, fs in snap.files.items()}
         n_new = 0
-        if os.path.isdir(out_dir):
-            for d in sorted(os.listdir(out_dir)):
-                if not d.startswith(f"{SYS_BUCKET}="):
-                    continue
-                b = d.split("=", 1)[1]
-                fs = sorted(
-                    f"{rel_dir}/{d}/{fn}" for fn in os.listdir(os.path.join(out_dir, d))
-                    if fn.endswith(".parquet")
-                )
-                new_files.setdefault(b, [])
-                new_files[b] = new_files[b] + fs
-                n_new += len(fs)
+        for b, fs in self._written_buckets(out_dir, rel_dir).items():
+            new_files[str(b)] = new_files.get(str(b), []) + fs
+            n_new += len(fs)
         new_snap = Snapshot(
             version=version, parent=snap.version, schema_json=snap.schema_json,
             num_buckets=snap.num_buckets, files=new_files,
             properties={**snap.properties, **(properties or {})},
             summary={"appended_files": n_new},
+            deltas=dict(snap.deltas),
         )
         write_snapshot(self.path, new_snap)
         return MergeStats(version, 0, 0, 0, n_new)
@@ -366,22 +494,32 @@ class LakeTable:
     # --------------------------------------------------------- maintenance
     def compact(self, *, target_files_per_bucket: int = 1,
                 buckets: list[int] | None = None) -> MergeStats:
-        """Rewrite fragmented buckets into ~target_files_per_bucket files each
-        (Iceberg rewrite_data_files equivalent). Metadata-only for buckets
-        already at/below the target; commits one new snapshot. Tombstones are
-        preserved (they guard against late-event resurrection)."""
+        """Fold merge-on-read deltas into the base and rewrite fragmented
+        buckets into ~target_files_per_bucket files each (Iceberg
+        rewrite_data_files + minor compaction in one pass). Metadata-only for
+        buckets already folded and at/below the target; commits one new
+        snapshot. Tombstones are preserved through the fold (they guard
+        against late-event resurrection)."""
         snap = self.snapshot()
         user_schema = StructType.fromJson(__import__("json").loads(snap.schema_json))
         phys = self._physical_schema(user_schema)
-        key = snap.properties["key"]
-        todo = [
-            int(b) for b, fs in snap.files.items()
-            if len(fs) > target_files_per_bucket
-            and (buckets is None or int(b) in buckets)
-        ]
+        key, ts_col = snap.properties["key"], snap.properties["ts_col"]
+        candidates = set(int(b) for b in snap.files) | set(int(b) for b in snap.deltas)
+        todo = sorted(
+            b for b in candidates
+            if (snap.bucket_deltas(b) or len(snap.bucket_files(b)) > target_files_per_bucket)
+            and (buckets is None or b in buckets)
+        )
         if not todo:
             return MergeStats(snap.version, 0, 0, 0, 0, {})
-        df = self._read_files([f for b in todo for f in snap.bucket_files(b)], phys)
+        has_deltas = any(snap.bucket_deltas(b) for b in todo)
+        df = self._read_files(
+            [f for b in todo for f in snap.bucket_files(b) + snap.bucket_deltas(b)], phys
+        )
+        if has_deltas:
+            # LWW fold — only valid for merge-maintained buckets (unique keys
+            # per (key, offset)); append-only tables never carry deltas
+            df = self._resolve_lww(df, key, ts_col)
         df = df.withColumn(SYS_BUCKET, self._bucket_expr(key))
         if target_files_per_bucket == 1:
             df = df.repartition(len(todo), F.col(SYS_BUCKET))
@@ -393,24 +531,19 @@ class LakeTable:
         version = snap.version + 1
         rel_dir = f"data/v{version:08d}"
         out_dir = os.path.join(self.path, rel_dir)
-        df.write.mode("errorifexists").partitionBy(SYS_BUCKET).parquet(out_dir)
+        df.write.mode("overwrite").partitionBy(SYS_BUCKET).parquet(out_dir)
         new_files = {b: list(fs) for b, fs in snap.files.items() if int(b) not in todo}
         n_new = 0
-        for b in todo:
-            bdir = os.path.join(out_dir, f"{SYS_BUCKET}={b}")
-            if os.path.isdir(bdir):
-                fs = sorted(
-                    f"{rel_dir}/{SYS_BUCKET}={b}/{fn}"
-                    for fn in os.listdir(bdir) if fn.endswith(".parquet")
-                )
-                if fs:
-                    new_files[str(b)] = fs
-                    n_new += len(fs)
+        for b, fs in self._written_buckets(out_dir, rel_dir).items():
+            new_files[str(b)] = fs
+            n_new += len(fs)
+        new_deltas = {b: list(fs) for b, fs in snap.deltas.items() if int(b) not in todo}
         new_snap = Snapshot(
             version=version, parent=snap.version, schema_json=snap.schema_json,
             num_buckets=snap.num_buckets, files=new_files,
             properties=dict(snap.properties),
             summary={"compacted_buckets": len(todo), "new_files": n_new},
+            deltas=new_deltas,
         )
         write_snapshot(self.path, new_snap)
         return MergeStats(version, len(todo), 0, 0, n_new, {})
@@ -428,7 +561,9 @@ class LakeTable:
         keep = set(versions[-keep_last:])
         live: set[str] = set()
         for v in keep:
-            live.update(self.snapshot(v).all_files())
+            s = self.snapshot(v)
+            live.update(s.all_files())
+            live.update(s.all_deltas())
         removed = 0
         data_root = os.path.join(self.path, "data")
         if os.path.isdir(data_root):

@@ -1,13 +1,15 @@
 """Multimodal columns: opaque binary payloads + typed metadata.
 
 Images/audio/video ride as ``binary`` columns with a small typed metadata
-struct, processed in Arrow batches via ``mapInPandas`` (never per-row Python).
-The decode/feature-extraction kernels are STUBBED behind deterministic fakes
-(the real codec libraries are not in this container — marked clearly below);
-the Spark-side plumbing — schema, batch shape, partitioning, UDF signature —
-is real and tested, so swapping in a real decoder is a one-function change.
+struct, processed in Arrow batches via ``mapInPandas`` (never per-row Python
+UDF calls). Container *header* parsing is real, pure-Python, and needs no
+codec libraries: PNG IHDR, JPEG SOF marker scan, RIFF/WAVE fmt+data chunks,
+MP4 ftyp sniffing. Full pixel/sample DECODE (which would need PIL/libav, not
+present in this container) remains out of scope — ``media_feature_vectors``
+is the one declared stand-in (a deterministic pseudo-embedding in place of a
+vision/audio model) so the downstream ANN/dedup path can be exercised.
 
-Scale notes: payloads never pass through the driver; feature extraction is a
+Scale notes: payloads never pass through the driver; metadata extraction is a
 narrow map (no shuffle); downstream dedup/similarity reuse the embedding
 operators (operators.similarity) on the extracted feature vectors.
 """
@@ -26,11 +28,13 @@ MEDIA_META_DDL = (
     "width int, height int, n_frames int"
 )
 
+PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
 
 def _sniff_type(b: bytes | None) -> str:
     if not b:
         return "empty"
-    if b[:8] == b"\x89PNG\r\n\x1a\n":
+    if b[:8] == PNG_SIG:
         return "image/png"
     if b[:3] == b"\xff\xd8\xff":
         return "image/jpeg"
@@ -41,43 +45,88 @@ def _sniff_type(b: bytes | None) -> str:
     return "application/octet-stream"
 
 
-def _fake_decode_dims(b: bytes) -> tuple[int, int, int]:
-    """STUB: deterministic fake decoder.
-
-    A real implementation would parse the container (PIL/libav); those libs
-    are not installed here. The fake derives stable pseudo-dimensions from the
-    payload bytes so tests are deterministic. Raise-on-use variant:
-    ``decode_image_real`` below.
-    """
-    h = int.from_bytes(b[:8].ljust(8, b"\0"), "little")
-    return 16 + h % 4096, 16 + (h >> 12) % 4096, 1 + (h >> 24) % 300
+def parse_png(b: bytes) -> tuple[int, int, int] | None:
+    """PNG IHDR: width/height are big-endian uint32 right after the first
+    chunk header (signature 8B + length 4B + 'IHDR' 4B)."""
+    if len(b) < 24 or b[:8] != PNG_SIG or b[12:16] != b"IHDR":
+        return None
+    w = int.from_bytes(b[16:20], "big")
+    h = int.from_bytes(b[20:24], "big")
+    return w, h, 1
 
 
-def decode_image_real(b: bytes):  # pragma: no cover - stub
-    raise NotImplementedError(
-        "real image decode requires PIL/opencv, not present in this container; "
-        "swap this into extract_media_meta's batch loop when available"
-    )
+def parse_jpeg(b: bytes) -> tuple[int, int, int] | None:
+    """JPEG: walk the marker segments to the first SOF0-3 frame header;
+    height/width are big-endian uint16 at +5/+7 into the segment."""
+    if b[:2] != b"\xff\xd8":
+        return None
+    i = 2
+    while i + 9 < len(b):
+        if b[i] != 0xFF:
+            i += 1
+            continue
+        marker = b[i + 1]
+        if marker in (0xFF, 0x01) or 0xD0 <= marker <= 0xD9:
+            i += 2
+            continue
+        seg_len = int.from_bytes(b[i + 2:i + 4], "big")
+        if marker in (0xC0, 0xC1, 0xC2, 0xC3):
+            h = int.from_bytes(b[i + 5:i + 7], "big")
+            w = int.from_bytes(b[i + 7:i + 9], "big")
+            return w, h, 1
+        i += 2 + seg_len
+    return None
+
+
+def parse_wav(b: bytes) -> tuple[int, int, int] | None:
+    """RIFF/WAVE chunk walk: 'fmt ' gives channels/sample_rate/block_align,
+    'data' gives the payload size. Mapped into the shared meta shape as
+    (width=sample_rate, height=channels, n_frames=data_bytes/block_align)."""
+    if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        return None
+    i = 12
+    sr = ch = ba = None
+    data_sz = None
+    while i + 8 <= len(b):
+        cid = b[i:i + 4]
+        sz = int.from_bytes(b[i + 4:i + 8], "little")
+        if cid == b"fmt " and i + 24 <= len(b):
+            ch = int.from_bytes(b[i + 10:i + 12], "little")
+            sr = int.from_bytes(b[i + 12:i + 16], "little")
+            ba = int.from_bytes(b[i + 20:i + 22], "little")
+        elif cid == b"data":
+            data_sz = sz
+        i += 8 + sz + (sz & 1)  # chunks are word-aligned
+    if sr is None:
+        return None
+    nf = (data_sz // ba) if (data_sz and ba) else 0
+    return sr, ch or 0, nf
+
+
+_PARSERS = {"image/png": parse_png, "image/jpeg": parse_jpeg, "audio/wav": parse_wav}
 
 
 def extract_media_meta(
     df: DataFrame, *, id_col: str = "doc_id", payload_col: str = "payload"
 ) -> DataFrame:
-    """(id, media metadata) via Arrow-batched mapInPandas."""
+    """(id, media metadata) via Arrow-batched mapInPandas — real container
+    header parsing (no codec libs needed); unparseable/unknown payloads get
+    null dimensions, never an error (dirty media is a data fact, not a crash).
+    """
     out_ddl = f"{id_col} long, {MEDIA_META_DDL}"
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            payloads = pdf[payload_col]
             metas = []
-            for b in payloads:
+            for b in pdf[payload_col]:
                 b = bytes(b) if b is not None else None
                 mt = _sniff_type(b)
-                if b:
-                    w, h, nf = _fake_decode_dims(b)
-                    metas.append((mt, len(b), b[:8].hex(), w, h, nf))
-                else:
+                if not b:
                     metas.append((mt, 0, "", None, None, None))
+                    continue
+                dims = _PARSERS.get(mt, lambda _b: None)(b)
+                w, h, nf = dims if dims else (None, None, None)
+                metas.append((mt, len(b), b[:8].hex(), w, h, nf))
             out = pd.DataFrame(
                 metas,
                 columns=["media_type", "byte_len", "header_hex",
@@ -92,11 +141,11 @@ def extract_media_meta(
 def media_feature_vectors(
     df: DataFrame, *, id_col: str = "doc_id", payload_col: str = "payload", dim: int = 16
 ) -> DataFrame:
-    """STUB feature extractor: deterministic pseudo-embedding per payload.
+    """STAND-IN feature extractor: deterministic pseudo-embedding per payload.
 
-    Real systems put a vision/audio model here; the fake hashes byte windows
-    into a stable float vector so the downstream ANN/dedup path (which is
-    real) can be exercised end-to-end.
+    Real systems put a vision/audio model here (not available in this
+    container); the stand-in hashes byte windows into a stable float vector so
+    the downstream ANN/dedup path (which is real) can be exercised end-to-end.
     """
     out_ddl = f"{id_col} long, feature array<float>"
 
@@ -116,15 +165,17 @@ def media_feature_vectors(
 def frame_sample_plan(
     df: DataFrame, *, every_n: int = 30, id_col: str = "doc_id"
 ) -> DataFrame:
-    """Expand each video row into (id, frame_idx) sampling rows — the
-    distributed fan-out side of frame sampling (decode itself is stubbed)."""
+    """Expand each media row into (id, frame_idx) sampling rows — the
+    distributed fan-out side of frame sampling (frame decode needs codec libs,
+    so rows where the container carries no frame count sample frame 0 only)."""
     meta = df
     if "n_frames" not in df.columns:
         meta = extract_media_meta(df, id_col=id_col)
     return meta.select(
         F.col(id_col),
         F.explode(
-            F.sequence(F.lit(0), F.greatest(F.col("n_frames") - 1, F.lit(0)),
+            F.sequence(F.lit(0),
+                       F.greatest(F.coalesce(F.col("n_frames"), F.lit(1)) - 1, F.lit(0)),
                        F.lit(every_n))
         ).alias("frame_idx"),
     )

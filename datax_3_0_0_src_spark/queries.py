@@ -657,19 +657,36 @@ FROM pairs WHERE round(dot_ab / (na * nb), 6) >= 0.25
 
 
 def multimodal_media_meta(spark, sf_dir):
-    """Binary media columns -> typed metadata via Arrow mapInPandas (decode
-    kernel stubbed deterministically — no codec libs in this container; the
-    Spark plumbing is real). Rows-only check."""
+    """Binary media columns -> typed metadata via Arrow mapInPandas. The
+    payloads are REAL PNG container headers built per doc (sig + IHDR with
+    doc-derived dimensions, assembled JVM-side with unhex), and the engine
+    parses them back with the pure-Python PNG header parser — so the DuckDB
+    oracle can recompute every field from doc_id exactly."""
     from .operators.multimodal import extract_media_meta
 
     docs = _t(spark, sf_dir, "documents")
-    media = docs.select(
-        "doc_id",
-        F.concat(
-            F.lit(b"\x89PNG\r\n\x1a\n"), F.encode(F.col("text"), "utf-8")
-        ).alias("payload"),
+    w = (F.col("doc_id") % 640 + 16).cast("bigint")
+    h = ((F.col("doc_id") * 7) % 480 + 16).cast("bigint")
+    hexstr = F.concat(
+        F.lit("89504E470D0A1A0A" "0000000D" "49484452"),
+        F.lpad(F.hex(w), 8, "0"),
+        F.lpad(F.hex(h), 8, "0"),
+        F.lit("0806000000"),
     )
+    media = docs.select("doc_id", F.unhex(hexstr).alias("payload"))
     return extract_media_meta(media)
+
+
+MULTIMODAL_SQL = """
+SELECT doc_id,
+       'image/png' AS media_type,
+       CAST(29 AS BIGINT) AS byte_len,
+       '89504e470d0a1a0a' AS header_hex,
+       CAST(doc_id % 640 + 16 AS INT) AS width,
+       CAST((doc_id * 7) % 480 + 16 AS INT) AS height,
+       1 AS n_frames
+FROM documents
+"""
 
 
 # ==================================================================== catalog
@@ -724,6 +741,5 @@ ORACLES: dict[str, str] = {
     "emb_cosine_topk": EMB_COSINE_TOPK_SQL,
     "emb_lsh_near_pairs": EMB_LSH_SQL,
     "cdc_replay_snapshot": CDC_REPLAY_SQL,
-    # no oracle (rows-only): multimodal_media_meta until the payload fixture
-    # carries real containers (operators/multimodal.py parses real headers)
+    "multimodal_media_meta": MULTIMODAL_SQL,
 }

@@ -175,3 +175,92 @@ def test_compact_reduces_files_preserves_state(spark, tmp_table_dir):
     assert "u0_0" not in state(t)
     # idempotent: nothing left to compact
     assert t.compact(target_files_per_bucket=1).touched_buckets == 0
+
+
+# ------------------------------------------------------------- merge-on-read
+def test_mor_merge_writes_deltas_not_base(spark, tmp_table_dir):
+    t = make_table(spark, tmp_table_dir)
+    t.merge(batch(spark, [
+        ("a", "2024-01-01T00:00:00", "<x>", "A1", "en", 0, "I"),
+        ("b", "2024-01-01T00:00:01", "<x>", "B1", "en", 1, "I"),
+    ]), mode="mor")
+    snap = t.snapshot()
+    assert snap.files == {} and snap.all_deltas()  # base untouched, deltas added
+    # LWW across delta layers: update a, delete b, insert c
+    t.merge(batch(spark, [
+        ("a", "2024-01-01T00:01:00", "<x>", "A2", "en", 2, "U"),
+        ("b", "2024-01-01T00:01:01", None, None, None, 3, "D"),
+        ("c", "2024-01-01T00:01:02", "<x>", "C1", "de", 4, "I"),
+    ]), mode="mor")
+    assert state(t) == {"a": (TS("2024-01-01T00:01:00"), "A2"),
+                        "c": (TS("2024-01-01T00:01:02"), "C1")}
+    assert t.snapshot().files == {}  # still zero base rewrites
+    # out-of-order older event loses at read-time resolution
+    t.merge(batch(spark, [("a", "2024-01-01T00:00:30", "<x>", "OLD", "en", 5, "U")]),
+            mode="mor")
+    assert state(t)["a"][1] == "A2"
+
+
+def test_mor_compact_folds_deltas_preserves_state_and_tombstones(spark, tmp_table_dir):
+    t = make_table(spark, tmp_table_dir)
+    for i, (u, ts, txt, off, op) in enumerate([
+        ("a", "2024-01-01T00:00:00", "A1", 0, "I"),
+        ("b", "2024-01-01T00:00:01", "B1", 1, "I"),
+        ("a", "2024-01-01T00:01:00", "A2", 2, "U"),
+        ("b", "2024-01-01T00:01:01", None, 3, "D"),
+    ]):
+        t.merge(batch(spark, [(u, ts, "<x>" if op != "D" else None, txt,
+                               "en" if op != "D" else None, off, op)]), mode="mor")
+    before = state(t)
+    stats = t.compact(target_files_per_bucket=1)
+    assert stats.touched_buckets >= 1
+    snap = t.snapshot()
+    assert snap.deltas == {} and snap.all_files()  # folded into base
+    assert state(t) == before == {"a": (TS("2024-01-01T00:01:00"), "A2")}
+    # tombstone survived the fold: an older event cannot resurrect b
+    t.merge(batch(spark, [("b", "2024-01-01T00:00:30", "<x>", "STALE", "en", 9, "U")]),
+            mode="mor")
+    assert "b" not in state(t)
+    # a newer one revives it
+    t.merge(batch(spark, [("b", "2024-01-02T00:00:00", "<x>", "NEW", "en", 10, "U")]),
+            mode="mor")
+    assert state(t)["b"][1] == "NEW"
+
+
+def test_mor_schema_evolution_and_time_travel(spark, tmp_table_dir):
+    t = make_table(spark, tmp_table_dir)
+    t.merge(batch(spark, [("a", "2024-01-01T00:00:00", "<x>", "A1", "en", 0, "I")]),
+            mode="mor")
+    evolved = batch(
+        spark, [("b", "2024-01-01T00:00:01", "<x>", "B1", "en", 1, "I")]
+    ).withColumn("fetch_status", F.lit(200))
+    t.merge(evolved, mode="mor")
+    df = t.read()
+    assert df.schema.fieldNames() == ["url", "warc_ts", "html", "text", "lang", "fetch_status"]
+    got = {r["url"]: r["fetch_status"] for r in df.collect()}
+    assert got == {"a": None, "b": 200}
+    # time travel to v1 sees only a, pre-evolution schema
+    v1 = t.read(version=1)
+    assert v1.schema.fieldNames() == ["url", "warc_ts", "html", "text", "lang"]
+    assert [r["url"] for r in v1.collect()] == ["a"]
+
+
+def test_mor_default_via_table_property(spark, tmp_table_dir):
+    t = LakeTable.create(
+        spark, tmp_table_dir, PAGES_SCHEMA, key="url", ts_col="warc_ts",
+        num_buckets=4, properties={"merge_mode": "mor"},
+    )
+    t.merge(batch(spark, [("a", "2024-01-01T00:00:00", "<x>", "A1", "en", 0, "I")]))
+    assert t.snapshot().files == {} and t.snapshot().all_deltas()
+
+
+def test_cow_merge_onto_mor_deltas_folds_them(spark, tmp_table_dir):
+    t = make_table(spark, tmp_table_dir)
+    t.merge(batch(spark, [("a", "2024-01-01T00:00:00", "<x>", "A1", "en", 0, "I")]),
+            mode="mor")
+    t.merge(batch(spark, [("a", "2024-01-01T00:01:00", "<x>", "A2", "en", 1, "U")]),
+            mode="cow")
+    assert state(t)["a"][1] == "A2"
+    snap = t.snapshot()
+    # the touched bucket's deltas were folded into the rewritten base
+    assert snap.all_deltas() == [] and snap.all_files()

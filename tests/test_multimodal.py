@@ -1,36 +1,77 @@
-"""Multimodal binary-column plumbing (stubbed decode, real Spark shape)."""
+"""Multimodal binary-column plumbing: real container header parsers
+(PNG IHDR / JPEG SOF / RIFF-WAVE), Arrow mapInPandas shape, frame fan-out."""
 
 from __future__ import annotations
 
 from pyspark.sql import functions as F
 
 from datax_3_0_0_src_spark.operators.multimodal import (
-    extract_media_meta, frame_sample_plan, media_feature_vectors,
+    PNG_SIG, extract_media_meta, frame_sample_plan, media_feature_vectors,
+    parse_jpeg, parse_png, parse_wav,
 )
+
+
+def png_bytes(w: int, h: int) -> bytes:
+    return (PNG_SIG + (13).to_bytes(4, "big") + b"IHDR"
+            + w.to_bytes(4, "big") + h.to_bytes(4, "big") + bytes([8, 6, 0, 0, 0]))
+
+
+def jpeg_bytes(w: int, h: int) -> bytes:
+    app0 = b"\xff\xe0" + (16).to_bytes(2, "big") + b"JFIF\x00" + bytes(9)
+    sof0 = (b"\xff\xc0" + (17).to_bytes(2, "big") + bytes([8])
+            + h.to_bytes(2, "big") + w.to_bytes(2, "big") + bytes(10))
+    return b"\xff\xd8" + app0 + sof0
+
+
+def wav_bytes(sr: int, ch: int, nsamp: int) -> bytes:
+    ba = ch * 2
+    data = bytes(nsamp * ba)
+    fmt = (b"fmt " + (16).to_bytes(4, "little") + (1).to_bytes(2, "little")
+           + ch.to_bytes(2, "little") + sr.to_bytes(4, "little")
+           + (sr * ba).to_bytes(4, "little") + ba.to_bytes(2, "little")
+           + (16).to_bytes(2, "little"))
+    chunks = fmt + b"data" + len(data).to_bytes(4, "little") + data
+    return b"RIFF" + (4 + len(chunks)).to_bytes(4, "little") + b"WAVE" + chunks
+
+
+def test_header_parsers_pure():
+    assert parse_png(png_bytes(640, 480)) == (640, 480, 1)
+    assert parse_png(PNG_SIG + b"xxxx") is None  # truncated/no IHDR
+    assert parse_jpeg(jpeg_bytes(320, 200)) == (320, 200, 1)
+    assert parse_jpeg(b"\xff\xd8\xff\xe0\x00\x04\x00\x00") is None  # no SOF
+    assert parse_wav(wav_bytes(44100, 2, 1000)) == (44100, 2, 1000)
+    assert parse_wav(b"RIFF\x00\x00\x00\x00WAVE") is None  # no fmt chunk
 
 
 def media_df(spark):
     rows = [
-        (1, b"\x89PNG\r\n\x1a\n" + b"x" * 100),
-        (2, b"\xff\xd8\xff" + b"y" * 50),
-        (3, b"RIFF" + b"\0\0\0\0" + b"WAVE" + b"z" * 20),
-        (4, b"\0\0\0\x18ftypmp42" + b"v" * 64),
+        (1, png_bytes(800, 600)),
+        (2, jpeg_bytes(320, 200)),
+        (3, wav_bytes(16000, 1, 480)),
+        (4, b"\x00\x00\x00\x18ftypmp42" + b"v" * 64),
         (5, None),
+        (6, PNG_SIG + b"garbage-after-signature"),
     ]
     return spark.createDataFrame(rows, "doc_id long, payload binary")
 
 
-def test_media_meta_types_and_determinism(spark):
+def test_media_meta_real_parsing(spark):
     df = media_df(spark)
     out = {r["doc_id"]: r for r in extract_media_meta(df).collect()}
     assert out[1]["media_type"] == "image/png"
+    assert (out[1]["width"], out[1]["height"], out[1]["n_frames"]) == (800, 600, 1)
+    assert out[1]["byte_len"] == 29 and out[1]["header_hex"] == PNG_SIG.hex()
     assert out[2]["media_type"] == "image/jpeg"
+    assert (out[2]["width"], out[2]["height"]) == (320, 200)
     assert out[3]["media_type"] == "audio/wav"
-    assert out[4]["media_type"] == "video/mp4"
+    # wav meta mapping: width=sample_rate, height=channels, n_frames=samples
+    assert (out[3]["width"], out[3]["height"], out[3]["n_frames"]) == (16000, 1, 480)
+    assert out[4]["media_type"] == "video/mp4" and out[4]["width"] is None
     assert out[5]["media_type"] == "empty" and out[5]["byte_len"] == 0
-    assert out[1]["byte_len"] == 108
+    # unparseable container => null dims, no error
+    assert out[6]["media_type"] == "image/png" and out[6]["width"] is None
     again = {r["doc_id"]: r for r in extract_media_meta(df).collect()}
-    assert out[1] == again[1]  # deterministic stub
+    assert out[1] == again[1]  # deterministic
 
 
 def test_feature_vectors_shape(spark):
@@ -42,7 +83,10 @@ def test_feature_vectors_shape(spark):
 
 def test_frame_sample_plan_fanout(spark):
     plan = frame_sample_plan(media_df(spark).filter(F.col("payload").isNotNull()),
-                             every_n=10)
+                             every_n=100)
     rows = plan.collect()
-    assert len(rows) >= 4  # at least one frame per media row
-    assert all(r["frame_idx"] % 10 == 0 for r in rows)
+    assert len(rows) >= 5  # at least one frame per media row
+    assert all(r["frame_idx"] % 100 == 0 for r in rows)
+    # the wav row (480 frames) fans out to ceil(480/100) sample rows
+    wav_rows = [r for r in rows if r["doc_id"] == 3]
+    assert len(wav_rows) == 5
