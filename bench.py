@@ -35,7 +35,10 @@ sys.path.insert(0, REPO)
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-N_EVENTS = int(os.environ.get("BENCH_EVENTS", "2000000"))
+# 4M events => 2M-event micro-batches: large enough that per-batch fixed costs
+# (job scheduling, commit, Python dispatch) amortize the way 10^8-event
+# batches would at the 10^10 target scale, small enough for the round budget
+N_EVENTS = int(os.environ.get("BENCH_EVENTS", "4000000"))
 REPS = int(os.environ.get("BENCH_REPS", "2"))
 SHM = "/dev/shm" if os.path.isdir("/dev/shm") else os.environ.get("TMPDIR", "/tmp")
 WAL_CACHE = os.path.join(SHM, f"datax_bench_wal_{N_EVENTS}")
@@ -68,20 +71,29 @@ spark = get_spark(parallelism=cores, shuffle_partitions=cores,
      b"<html><head><title>t</title></head><body>b</body></html>")))
  .write.format("noop").mode("overwrite").save())
 base = {shm!r} + f"/datax_bench_replay_{{cores}}"
-shutil.rmtree(base, ignore_errors=True)
-rep = Replayer(spark, ReplayConfig(log_dir={wal!r}, table_path=base + "/pages",
-                                   work_dir=base + "/work", num_buckets=16))
-t0 = time.monotonic()
-res = rep.run()
-dt = time.monotonic() - t0
+# steady-state measurement: the first replay in a fresh JVM pays JIT/codegen
+# warmup (measured ~2x); run it once as warmup, then measure the second run
+# on a fresh table (same input, warm engine)
+for warm in (True, False):
+    shutil.rmtree(base, ignore_errors=True)
+    rep = Replayer(spark, ReplayConfig(log_dir={wal!r}, table_path=base + "/pages",
+                                       work_dir=base + "/work", num_buckets=16))
+    t0 = time.monotonic()
+    res = rep.run()
+    dt = time.monotonic() - t0
+    # merge-on-read: also time the delta->base compaction fold so the reported
+    # end-to-end number includes the deferred LWW resolution, not just the apply
+    t1 = time.monotonic()
+    rep.table.compact(target_files_per_bucket=2)
+    dt_fold = time.monotonic() - t1
 n = sum(r.events_read for r in res)
 shutil.rmtree(base, ignore_errors=True)
-print(f"RESULT {{dt}} {{n}}")
+print(f"RESULT {{dt}} {{dt_fold}} {{n}}")
 spark.stop()
 """
 
 
-def replay_subprocess(cores: int) -> tuple[float, int]:
+def replay_subprocess(cores: int) -> tuple[float, float, int]:
     env = dict(os.environ, SPARK_DRIVER_MEM=os.environ.get("SPARK_DRIVER_MEM", "48g"))
     code = _CHILD.format(repo=REPO, cores=cores, shm=SHM, wal=WAL_CACHE)
     out = subprocess.run(
@@ -90,8 +102,8 @@ def replay_subprocess(cores: int) -> tuple[float, int]:
     )
     for line in out.stdout.splitlines():
         if line.startswith("RESULT "):
-            _, dt, n = line.split()
-            return float(dt), int(n)
+            _, dt, dt_fold, n = line.split()
+            return float(dt), float(dt_fold), int(n)
     raise RuntimeError(f"replay child (cores={cores}) failed:\n{out.stderr[-3000:]}")
 
 
@@ -127,24 +139,35 @@ def main() -> None:
     # ---- phase C: replay at two parallelism levels, interleaved ----------
     small = max(2, CPUS // 4)
     tiny = max(1, small // 4)
-    times: dict[int, list[float]] = {tiny: [], small: [], CPUS: []}
+    with_tiny = N_EVENTS <= 2_000_000  # the 2-core curve point only at small inputs
+    levels = ([tiny] if with_tiny else []) + [small, CPUS]
+    times: dict[int, list[float]] = {c: [] for c in levels}
+    times_fold: dict[int, list[float]] = {c: [] for c in levels}
     n_events = dict.fromkeys(times, 0)
     for rep in range(REPS):
-        for cores in (CPUS, small) if rep else (CPUS, small, tiny):
-            dt, n = replay_subprocess(cores)
+        for cores in (CPUS, small) if rep else list(reversed(levels)):
+            dt, dt_fold, n = replay_subprocess(cores)
             times[cores].append(dt)
+            times_fold[cores].append(dt + dt_fold)
             n_events[cores] = n
-    dt_tiny, dt_small, dt_large = (min(times[c]) for c in (tiny, small, CPUS))
-    thr_tiny = n_events[tiny] / dt_tiny
+    dt_small, dt_large = (min(times[c]) for c in (small, CPUS))
+    ft_small, ft_large = (min(times_fold[c]) for c in (small, CPUS))
     thr_small = n_events[small] / dt_small
     thr_large = n_events[CPUS] / dt_large
     efficiency = (thr_large / thr_small) / (CPUS / small)
-    efficiency_tiny = (thr_small / thr_tiny) / (small / tiny)
-    # Amdahl decomposition from the (tiny, small) pair, sanity-check at CPUS
-    par = (dt_tiny - dt_small) / (1 / tiny - 1 / small)
-    ser = max(dt_small - par / small, 0.0)
-
-    queries[f"cdc_replay_local{tiny}"] = round(dt_tiny, 3)
+    eff_fold = ((n_events[CPUS] / ft_large) / (n_events[small] / ft_small)) / (CPUS / small)
+    if with_tiny:
+        dt_tiny = min(times[tiny])
+        thr_tiny = n_events[tiny] / dt_tiny
+        efficiency_tiny = (thr_small / thr_tiny) / (small / tiny)
+        # Amdahl decomposition from the (tiny, small) pair
+        par = (dt_tiny - dt_small) / (1 / tiny - 1 / small)
+        ser = max(dt_small - par / small, 0.0)
+        queries[f"cdc_replay_local{tiny}"] = round(dt_tiny, 3)
+    else:
+        efficiency_tiny = None
+        par = (dt_small - dt_large) / (1 / small - 1 / CPUS)
+        ser = max(dt_large - par / CPUS, 0.0)
     queries[f"cdc_replay_local{small}"] = round(dt_small, 3)
     queries[f"cdc_replay_local{CPUS}"] = round(dt_large, 3)
 
@@ -163,10 +186,11 @@ def main() -> None:
         "scaling": {
             "input_events": N_EVENTS,
             "reps_per_level": REPS,
-            "estimator": "best-of-reps (shared-VM noise mitigation)",
+            "estimator": "best-of-reps, steady-state (warmup replay discarded "
+                         "per child; shared-VM noise mitigation)",
             "cores": {str(c): sorted(round(t, 2) for t in ts) for c, ts in times.items()},
             "events_per_sec": {
-                str(tiny): round(thr_tiny, 1),
+                **({str(tiny): round(thr_tiny, 1)} if with_tiny else {}),
                 str(small): round(thr_small, 1),
                 str(CPUS): round(thr_large, 1),
             },
@@ -175,7 +199,13 @@ def main() -> None:
             "events_per_sec_small": round(thr_small, 1),
             "events_per_sec_large": round(thr_large, 1),
             "scaling_efficiency": round(efficiency, 3),
-            "scaling_efficiency_n_to_4n_low": round(efficiency_tiny, 3),
+            **({"scaling_efficiency_n_to_4n_low": round(efficiency_tiny, 3)}
+               if with_tiny else {}),
+            "apply_plus_fold_s": {
+                str(small): round(ft_small, 2),
+                str(CPUS): round(ft_large, 2),
+            },
+            "scaling_efficiency_incl_fold": round(eff_fold, 3),
             "amdahl_fit": {"serial_s": round(ser, 1), "parallel_s": round(par, 1)},
         },
     }))

@@ -65,6 +65,13 @@ class ReplayConfig:
     # merge strategy: "mor" (delta files, O(batch) writes — the scale default)
     # or "cow" (rewrite touched buckets per batch)
     merge_mode: str = "mor"
+    # MOR only: skip the per-batch LWW dedup aggregation and write all valid
+    # events as delta rows — the SAME last-writer-wins (ts, offset) rule is
+    # applied at read/compact-time resolution, so the final state is
+    # identical (tested), but the batch pipeline drops a whole-batch shuffle
+    # + aggregation of wide binary rows. Keep True when batches carry high
+    # duplicate ratios (delta size) or when feeding a COW table.
+    dedup_per_batch: bool = True
     compact_every: int | None = None   # fold MOR deltas every N batches
     compact_target_files: int = 2      # files/bucket after a fold
     batch_timeout_s: float | None = None   # F13: cancel a wedged batch (watchdog)
@@ -101,6 +108,11 @@ class Replayer:
     def __init__(self, spark: SparkSession, cfg: ReplayConfig):
         self.spark = spark
         self.cfg = cfg
+        if not cfg.dedup_per_batch and cfg.merge_mode != "mor":
+            raise ValueError(
+                "dedup_per_batch=False requires merge_mode='mor' (COW's "
+                "full-outer merge join needs at most one row per key)"
+            )
         if LakeTable.exists(cfg.table_path):
             self.table = LakeTable.load(spark, cfg.table_path)
         else:
@@ -183,9 +195,33 @@ class Replayer:
     def _epoch_path(self, epoch: int) -> str:
         return os.path.join(self.cfg.log_dir, f"epoch={epoch}")
 
+    def _tune_scan_splits(self, epoch: int) -> None:
+        """Size parquet splits so the epoch scan yields ~2 tasks per core.
+
+        The scan stage CARRIES the Arrow extract pipeline (extraction is
+        scan-side by design, BENCH.md finding #2), so scan parallelism bounds
+        the whole batch. A WAL segment of small files packs into very few
+        128 MB-default splits (measured: a 114 MB epoch of 64 files became 3
+        tasks — the 8->32-core plateau). Driver-side listing is metadata-only;
+        the [4 MB, 128 MB] clamp keeps the setting sane at both sandbox and
+        100 TB scale (at 10^8-event epochs the computed target saturates at
+        the 128 MB default)."""
+        p = self._epoch_path(epoch)
+        try:
+            size = sum(
+                os.path.getsize(os.path.join(p, f))
+                for f in os.listdir(p) if f.endswith(".parquet")
+            )
+        except OSError:
+            return
+        par = self.spark.sparkContext.defaultParallelism
+        target = min(max(size // (par * 2), 4 << 20), 128 << 20)
+        self.spark.conf.set("spark.sql.files.maxPartitionBytes", str(target))
+
     def read_epoch(self, epoch: int) -> DataFrame:
         """One WAL segment; its files' own schema (=> additive evolution
         surfaces naturally when later segments carry new columns)."""
+        self._tune_scan_splits(epoch)
         return self.spark.read.parquet(self._epoch_path(epoch)).withColumn(
             "epoch", F.lit(epoch)
         )
@@ -391,10 +427,15 @@ class Replayer:
             enriched = with_extracted_text(
                 clean.withColumn("html", F.when(is_del, None).otherwise(F.col("html")))
             )
-            winners = dedup_lww(
-                enriched, key=cfg.key, ts_col=cfg.ts_col, seq_col=cfg.seq_col,
-                salt_partitions=cfg.salt_partitions,
-            ).drop(SYS_BUCKET, "epoch")
+            if cfg.dedup_per_batch:
+                winners = dedup_lww(
+                    enriched, key=cfg.key, ts_col=cfg.ts_col, seq_col=cfg.seq_col,
+                    salt_partitions=cfg.salt_partitions,
+                ).drop(SYS_BUCKET, "epoch")
+            else:
+                # MOR fast path: all valid events become delta rows; LWW
+                # resolution happens at read/compact (same winner rule)
+                winners = enriched.drop(SYS_BUCKET, "epoch")
 
             plan = None
             if cfg.merge_mode == "cow":

@@ -84,7 +84,16 @@ def _apply_transformer(df: DataFrame, t: dict) -> DataFrame:
         return df.withColumn(col, dx_replace(col, int(paras[0]), int(paras[1]), paras[2]))
     if name == "dx_filter":
         return dx_filter(df, col, paras[0], paras[1])
-    raise KeyError(f"unknown transformer {name!r}")
+    # SPI fallback: user transformers registered by name
+    # (TransformerRegistry.registTransformer parity, TransformerRegistry.java:28-62)
+    from .operators.transformers import TRANSFORMERS
+
+    if name in TRANSFORMERS:
+        return TRANSFORMERS[name](df, col, paras)
+    raise KeyError(
+        f"unknown transformer {name!r}; built-ins: dx_substr/dx_pad/dx_replace/"
+        f"dx_filter; registered: {sorted(TRANSFORMERS)}"
+    )
 
 
 def run_job(spark: SparkSession, spec: JobSpec | dict | str, *, hooks: list | None = None):

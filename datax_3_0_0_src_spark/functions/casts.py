@@ -64,6 +64,15 @@ def as_string(col: Column | str) -> Column:
     return c.cast("string")
 
 
+def as_decimal(col: Column | str, precision: int = 38, scale: int = 6) -> Column:
+    """asDecimal: exact numeric where 精度 matters — the reference reads
+    NUMERIC/DECIMAL via BigDecimal strings (CommonRdbmsReader.java:277-280;
+    DoubleColumn.asBigDecimal). try_cast => overflow/garbage routes to null
+    (the OverFlowUtil.java:28,53 guard as dirty routing, not job abort)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast("string").try_cast(f"decimal({precision},{scale})")
+
+
 def as_bool(col: Column | str) -> Column:
     """asBoolean: "true"/"false" (case-insensitive), 1/0 longs
     (BoolColumn semantics); anything else null."""

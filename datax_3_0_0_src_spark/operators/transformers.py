@@ -10,11 +10,39 @@ engine's use.
 
 A TransformerPipeline mirrors TransformerExchanger.doTransformer's ordered
 application (core/.../transport/exchanger/TransformerExchanger.java:53-127).
+
+The SPI registry (``register_transformer``) mirrors
+TransformerRegistry.registTransformer (core/.../transport/transformer/
+TransformerRegistry.java:28-62): user code registers a named transformer
+(typically wrapping an Arrow ``pandas_udf`` — the dx_groovy slot) and job
+specs invoke it by name like any built-in.
 """
 
 from __future__ import annotations
 
+from collections.abc import Callable
+
 from pyspark.sql import Column, DataFrame, functions as F
+
+# SPI registry: name -> fn(df, column_name, paras) -> DataFrame
+TRANSFORMERS: dict[str, Callable[[DataFrame, str, list], DataFrame]] = {}
+
+
+def register_transformer(name: str):
+    """Decorator: register a custom transformer under a job-spec-visible name
+    (TransformerRegistry.registTransformer parity; duplicate names rejected
+    like the reference's isConfliction check)."""
+    def deco(fn: Callable[[DataFrame, str, list], DataFrame]):
+        if name in TRANSFORMERS:
+            raise ValueError(f"transformer {name!r} already registered")
+        TRANSFORMERS[name] = fn
+        return fn
+
+    return deco
+
+
+def transformer_names() -> list[str]:
+    return sorted(TRANSFORMERS)
 
 
 def dx_substr(col: str, start: int, length: int) -> Column:

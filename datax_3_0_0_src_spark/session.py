@@ -38,8 +38,17 @@ def get_spark(
         # Arrow: the only sanctioned Python<->JVM path (no per-row Python UDFs)
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
-        # keep partition sizes bounded for wide binary (html) columns
+        # keep partition sizes bounded for wide binary (html) columns; the
+        # CDC replayer re-tunes this per epoch (replayer._tune_scan_splits)
         .config("spark.sql.files.maxPartitionBytes", "134217728")
+        # tmpfs/SSD seek cost is ~0; the 4 MB default inflates small files in
+        # the split-packing math and strangles scan parallelism on WALs of
+        # many small segments
+        .config("spark.sql.files.openCostInBytes", "1048576")
+        # cluster-posture resilience (no-ops in local mode): retry flaky
+        # tasks, speculate stragglers (F12/F13 at the Spark layer)
+        .config("spark.task.maxFailures", "4")
+        .config("spark.speculation", os.environ.get("SPARK_SPECULATION", "false"))
         .config("spark.sql.parquet.compression.codec", "snappy")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         # ParallelGC: G1 collapses under many allocation-heavy task threads on

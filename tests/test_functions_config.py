@@ -76,3 +76,21 @@ def test_job_presql_postsql_hooks(spark, tmp_path):
     )
     assert len(calls) == 1
     assert calls[0]["writer"]["parameter"]["password"] == "*****"  # F17 masking
+
+
+def test_as_decimal_precision_and_dirty_routing(spark):
+    from datax_3_0_0_src_spark.functions import as_decimal
+
+    df = spark.createDataFrame(
+        [("123.456",), ("-0.004",), ("1e3",), ("garbage",), (None,)], "v string"
+    )
+    out = [r[0] for r in df.select(as_decimal("v", 20, 3)).collect()]
+    import decimal
+    D = decimal.Decimal
+    assert out[0] == D("123.456")
+    assert out[1] == D("-0.004")
+    assert out[2] == D("1000.000")
+    assert out[3] is None and out[4] is None  # dirty routing, not abort
+    # overflow beyond precision -> null (OverFlowUtil guard semantics)
+    big = spark.createDataFrame([("12345678901234567890123.4",)], "v string")
+    assert big.select(as_decimal("v", 10, 2)).collect()[0][0] is None

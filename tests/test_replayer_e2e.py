@@ -132,3 +132,24 @@ def test_schema_evolution_mid_log(spark, tmp_path):
     assert "fetch_status" in got.columns
     assert got["fetch_status"].isna().any() and got["fetch_status"].notna().any()
     assert_state_matches(rep, gcfg)
+
+
+def test_mor_nodedup_fast_path_same_state(spark, log_and_work):
+    """dedup_per_batch=False: all valid events land as delta rows; the LWW
+    (ts, offset) rule applied at read/compact resolution must converge to the
+    byte-identical oracle state."""
+    log_dir, work, table = log_and_work
+    rep = make_replayer(spark, log_dir, work, table, dedup_per_batch=False)
+    rep.run()
+    assert_state_matches(rep, CFG)
+    # folding the deltas preserves the state too
+    rep.table.compact(target_files_per_bucket=1)
+    assert rep.table.snapshot().deltas == {}
+    assert_state_matches(rep, CFG)
+
+
+def test_nodedup_requires_mor(spark, tmp_path):
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="mor"):
+        make_replayer(spark, str(tmp_path / "w"), str(tmp_path / "wk"),
+                      str(tmp_path / "t"), dedup_per_batch=False, merge_mode="cow")

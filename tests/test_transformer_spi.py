@@ -1,0 +1,77 @@
+"""Custom-transformer SPI: register_transformer parity with DataX's
+TransformerRegistry.registTransformer (user UDFs reachable from a job spec)."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import StringType
+
+from datax_3_0_0_src_spark.config import run_job
+from datax_3_0_0_src_spark.operators.transformers import (
+    TRANSFORMERS, register_transformer, transformer_names,
+)
+
+
+@pandas_udf(StringType())
+def _rev_udf(s: pd.Series) -> pd.Series:
+    return s.str[::-1]
+
+
+def setup_module():
+    # the dx_groovy-style escape hatch: an Arrow pandas_udf behind a name
+    @register_transformer("dx_reverse")
+    def dx_reverse(df, column_name, paras):
+        return df.withColumn(column_name, _rev_udf(F.col(column_name)))
+
+    @register_transformer("dx_suffix")
+    def dx_suffix(df, column_name, paras):
+        return df.withColumn(column_name, F.concat(F.col(column_name), F.lit(paras[0])))
+
+
+def teardown_module():
+    TRANSFORMERS.pop("dx_reverse", None)
+    TRANSFORMERS.pop("dx_suffix", None)
+
+
+def test_registry_contents():
+    assert "dx_reverse" in transformer_names()
+    with pytest.raises(ValueError):
+        register_transformer("dx_reverse")(lambda df, c, p: df)  # dup name rejected
+
+
+def test_job_spec_reaches_custom_transformers(spark, tmp_path):
+    src = str(tmp_path / "src.parquet")
+    spark.createDataFrame(
+        [(1, "abc"), (2, "wxyz")], "id long, name string"
+    ).write.parquet(src)
+    out = str(tmp_path / "out.parquet")
+    run_job(spark, {
+        "job": {"content": [{
+            "reader": {"name": "parquet", "parameter": {"path": src}},
+            "transformer": [
+                {"name": "dx_reverse", "parameter": {"columnName": "name"}},
+                {"name": "dx_suffix", "parameter": {"columnName": "name",
+                                                    "paras": ["!"]}},
+            ],
+            "writer": {"name": "parquet", "parameter": {"path": out}},
+        }]},
+    })
+    got = {r["id"]: r["name"] for r in spark.read.parquet(out).collect()}
+    assert got == {1: "cba!", 2: "zyxw!"}
+
+
+def test_unknown_transformer_raises(spark, tmp_path):
+    src = str(tmp_path / "src2.parquet")
+    spark.createDataFrame([(1, "a")], "id long, name string").write.parquet(src)
+    with pytest.raises(KeyError, match="dx_nope"):
+        run_job(spark, {
+            "job": {"content": [{
+                "reader": {"name": "parquet", "parameter": {"path": src}},
+                "transformer": [{"name": "dx_nope",
+                                 "parameter": {"columnName": "name"}}],
+                "writer": {"name": "console", "parameter": {}},
+            }]},
+        })
