@@ -41,7 +41,7 @@ from ..lake.manifest import _atomic_write
 from ..lake.table import SYS_BUCKET, LakeTable
 from .dedup import dedup_lww
 from .extract import with_extracted_text
-from .quarantine import check_error_limits, split_quarantine
+from .quarantine import check_error_limits
 
 PAGES_DDL = "url string, warc_ts timestamp, html binary, text string, lang string"
 
@@ -77,6 +77,12 @@ class ReplayConfig:
     batch_timeout_s: float | None = None   # F13: cancel a wedged batch (watchdog)
     report_interval_s: float | None = None  # F11: periodic counter reporting
     report_sink: object = None              # callable(str); default print
+    # lineage granularity: "bucket" = exact per-bucket read/dedup counts via a
+    # dedicated aggregation pass (CommunicationTool per-task parity);
+    # "global" = Dataset.observe piggybacked on the quarantine write — one
+    # fewer Spark job per batch; per-bucket applied/quarantined still exact
+    # (parquet footers), read/deduped kept as batch-global rows
+    lineage_level: str = "bucket"
 
     @property
     def checkpoint_dir(self) -> str:
@@ -377,9 +383,32 @@ class Replayer:
             tick = now
 
         try:
-            clean, dirty = split_quarantine(ev, op_col=cfg.op_col)
+            from .quarantine import reason_col
 
-            # ---- quarantine (idempotent: fixed path per batch, overwrite) --
+            tagged = ev.withColumn("_reason", reason_col(cfg.op_col))
+            clean = tagged.filter(F.col("_reason").isNull()).drop("_reason")
+            dirty_src = tagged
+            obs = None
+            if cfg.lineage_level == "global":
+                # Dataset.observe rides the quarantine write: the observation
+                # node sits ABOVE the dirty filter, so it counts every event
+                # that flows past — the whole stat pass collapses into metrics
+                # of a job we were running anyway (one fewer job per batch)
+                from pyspark.sql import Observation
+
+                obs = Observation(f"batch-{batch_id}-stats")
+                dirty_src = tagged.observe(
+                    obs,
+                    F.count(F.lit(1)).alias("events_read"),
+                    F.sum(F.when(F.col("_reason").isNotNull(), 1).otherwise(0)).alias("n_dirty"),
+                    F.sum(F.octet_length("html")).alias("bytes_in"),
+                )
+            dirty = dirty_src.filter(F.col("_reason").isNotNull()).withColumnRenamed(
+                "_reason", "reason"
+            )
+
+            # ---- quarantine (idempotent: fixed path per batch, overwrite;
+            # bucket-partitioned so per-bucket dirty counts are footer reads) --
             qpath = os.path.join(cfg.quarantine_dir, f"batch={batch_id}")
             (dirty.select(
                 F.col(cfg.seq_col).alias("log_offset"),
@@ -387,30 +416,36 @@ class Replayer:
                 F.col(cfg.key).alias("url"),
                 "reason",
                 F.col("html").alias("raw_payload"),
-            ).write.mode("overwrite").parquet(qpath))
+                F.col(SYS_BUCKET),
+            ).write.mode("overwrite").partitionBy(SYS_BUCKET).parquet(qpath))
             lap("quarantine_write")
 
-            # ---- per-partition read/dirty/bytes (+ plan counts, cow only) --
-            # For COW, count_distinct(valid url) per bucket == exactly the
-            # post-LWW winner count per bucket, so the MERGE can skip its own
-            # planning pass and evaluate the Arrow-UDF pipeline once. MOR
-            # never needs a plan (counts come from the written footers), so
-            # the expensive distinct is skipped there.
-            from .quarantine import reason_col
-            valid = reason_col(cfg.op_col).isNull()
-            aggs = [
-                F.count(F.lit(1)).alias("events_read"),
-                F.sum(F.when(~valid, 1).otherwise(0)).alias("n_dirty"),
-                F.sum(F.octet_length("html")).alias("bytes_in"),
-            ]
-            if cfg.merge_mode == "cow":
-                aggs.append(
-                    F.count_distinct(F.when(valid, F.col(cfg.key))).alias("n_winners")
-                )
-            stat = ev.groupBy(SYS_BUCKET).agg(*aggs).collect()
-            lap("stat_agg")
-            events_read = int(sum(r["events_read"] for r in stat))
-            dirty_count = int(sum(r["n_dirty"] for r in stat))
+            if cfg.lineage_level == "global":
+                got = obs.get
+                events_read = int(got["events_read"])
+                dirty_count = int(got["n_dirty"] or 0)
+                bytes_in = int(got["bytes_in"] or 0)
+                stat = None
+            else:
+                # ---- per-partition read/dirty/bytes (+ plan counts, cow) ---
+                # For COW, count_distinct(valid url) per bucket == exactly the
+                # post-LWW winner count per bucket, so the MERGE can skip its
+                # own planning pass and evaluate the Arrow-UDF pipeline once.
+                # MOR never needs a plan (counts come from written footers).
+                valid = reason_col(cfg.op_col).isNull()
+                aggs = [
+                    F.count(F.lit(1)).alias("events_read"),
+                    F.sum(F.when(~valid, 1).otherwise(0)).alias("n_dirty"),
+                    F.sum(F.octet_length("html")).alias("bytes_in"),
+                ]
+                if cfg.merge_mode == "cow":
+                    aggs.append(
+                        F.count_distinct(F.when(valid, F.col(cfg.key))).alias("n_winners")
+                    )
+                stat = ev.groupBy(SYS_BUCKET).agg(*aggs).collect()
+                lap("stat_agg")
+                events_read = int(sum(r["events_read"] for r in stat))
+                dirty_count = int(sum(r["n_dirty"] for r in stat))
             check_error_limits(
                 dirty_count, events_read,
                 record_limit=cfg.error_record_limit,
@@ -438,7 +473,7 @@ class Replayer:
                 winners = enriched.drop(SYS_BUCKET, "epoch")
 
             plan = None
-            if cfg.merge_mode == "cow":
+            if cfg.merge_mode == "cow" and stat is not None:
                 plan = {
                     int(r[SYS_BUCKET]): int(r["n_winners"])
                     for r in stat
@@ -460,18 +495,37 @@ class Replayer:
             lap("merge")
 
             # ---- lineage/metrics keyed (partition_id, checkpoint_epoch) ---
-            # derived from the two aggs above — no extra Spark jobs
+            # derived from aggs/observations/footers above — no extra Spark jobs
             dur_ms = int((time.monotonic() - t0) * 1000)
             win_per_bucket = stats.rows_per_bucket or {}
             rows = []
-            for r in sorted(stat, key=lambda r: r[SYS_BUCKET]):
-                b = int(r[SYS_BUCKET])
-                read_n, n_dirty = int(r["events_read"]), int(r["n_dirty"])
-                wins = int(win_per_bucket.get(b, 0))
+            if stat is not None:
+                for r in sorted(stat, key=lambda r: r[SYS_BUCKET]):
+                    b = int(r[SYS_BUCKET])
+                    read_n, n_dirty = int(r["events_read"]), int(r["n_dirty"])
+                    wins = int(win_per_bucket.get(b, 0))
+                    rows.append((
+                        b, batch_id, epoch, read_n, wins,
+                        read_n - n_dirty - wins, n_dirty,
+                        int(r["bytes_in"] or 0), dur_ms,
+                    ))
+            else:
+                # global lineage: per-bucket applied from the merge's delta
+                # footers, per-bucket quarantined from the quarantine footers,
+                # read/deduped/bytes as one batch-global row (partition -1)
+                dirty_per_bucket = self._dir_bucket_counts(qpath)
+                buckets = sorted(set(win_per_bucket) | {
+                    b for b in dirty_per_bucket if b >= 0
+                })
+                for b in buckets:
+                    rows.append((
+                        b, batch_id, epoch, 0, int(win_per_bucket.get(b, 0)),
+                        0, int(dirty_per_bucket.get(b, 0)), 0, dur_ms,
+                    ))
                 rows.append((
-                    b, batch_id, epoch, read_n, wins,
-                    read_n - n_dirty - wins, n_dirty,
-                    int(r["bytes_in"] or 0), dur_ms,
+                    -1, batch_id, epoch, events_read, 0,
+                    events_read - dirty_count - applied,
+                    int(dirty_per_bucket.get(-1, 0)), bytes_in, dur_ms,
                 ))
             # tiny table: write driver-side via pyarrow (no Spark job)
             import pyarrow as pa
@@ -508,9 +562,35 @@ class Replayer:
         finally:
             pass
 
+    @staticmethod
+    def _dir_bucket_counts(path: str) -> dict[int, int]:
+        """{bucket: row_count} from a bucket-partitioned dir's parquet footers
+        (driver-side metadata reads, no Spark job)."""
+        import pyarrow.parquet as pq
+
+        out: dict[int, int] = {}
+        if not os.path.isdir(path):
+            return out
+        for d in os.listdir(path):
+            if not d.startswith(f"{SYS_BUCKET}="):
+                continue
+            raw = d.split("=", 1)[1]
+            b = -1 if raw == "__HIVE_DEFAULT_PARTITION__" else int(raw)
+            n = 0
+            sub = os.path.join(path, d)
+            for fn in os.listdir(sub):
+                if fn.endswith(".parquet"):
+                    n += pq.ParquetFile(os.path.join(sub, fn)).metadata.num_rows
+            out[b] = out.get(b, 0) + n
+        return out
+
     # ------------------------------------------------------------- reading
     def metrics(self) -> DataFrame:
         return self.spark.read.parquet(os.path.join(self.cfg.metrics_dir, "batch=*"))
 
     def quarantine(self) -> DataFrame:
-        return self.spark.read.parquet(os.path.join(self.cfg.quarantine_dir, "batch=*"))
+        # basePath: batch=/bucket= are two partition levels under the root
+        return (
+            self.spark.read.option("basePath", self.cfg.quarantine_dir)
+            .parquet(os.path.join(self.cfg.quarantine_dir, "batch=*"))
+        )

@@ -93,6 +93,74 @@ def hyperplane_lsh_buckets(
     return df.select(F.col(id_col), bucket.alias("bucket"))
 
 
+def ivf_assign(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+) -> DataFrame:
+    """IVF coarse quantization: assign every vector to its nearest of
+    ``n_cells`` centroid seeds (deterministically the vectors with the
+    n_cells smallest ids — no iterative k-means, so the assignment is exactly
+    reproducible in SQL). Returns (id, cell).
+
+    Scale path: the centroid table is tiny (collected once, embedded as
+    literal arrays => JVM-only expressions, no shuffle); assignment is a
+    narrow map over the corpus. At 100 TB the same structure holds — ~2^10-14
+    cells, argmax over broadcast centroids, then the ANN probe joins on
+    ``cell`` instead of cross-joining the corpus."""
+    seeds = (
+        df.filter(F.col(id_col) < n_cells)
+        .select(id_col, vec_col)
+        .collect()
+    )
+    vec = F.col(vec_col)
+    nv = _norm(vec)
+    entries = []
+    for r in sorted(seeds, key=lambda r: r[0]):
+        sid = int(r[0])
+        svec = F.array(*[F.lit(float(x)) for x in r[1]])
+        sim = F.round(_dot(vec, svec) / (nv * _norm(svec)), 6)
+        # max of (sim, -sid) == best sim, ties to the lowest seed id
+        entries.append(F.struct(sim.alias("s"), F.lit(-sid).cast("long").alias("nid")))
+    cell = -F.array_max(F.array(*entries)).getField("nid")
+    return df.select(F.col(id_col), cell.cast("int").alias("cell"))
+
+
+def ivf_topk(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_ids: list[int] | None = None,
+    n_cells: int = 16,
+    k: int = 5,
+) -> DataFrame:
+    """IVF ANN search (nprobe=1): exact cosine top-k, but only within the
+    query's own quantizer cell — the candidate join shuffles on ``cell``
+    instead of broadcasting the corpus. Approximate by design (neighbors in
+    other cells are unseen), deterministic, SQL-twin-checkable."""
+    query_ids = query_ids or list(range(10))
+    assign = ivf_assign(df, id_col=id_col, vec_col=vec_col, n_cells=n_cells)
+    withc = df.select(F.col(id_col), F.col(vec_col)).join(assign, id_col)
+    q = withc.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"), "cell"
+    )
+    c = withc.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"), "cell")
+    pairs = c.join(F.broadcast(q), ["cell"]).filter(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    sim = F.round(_dot(F.col("_qv"), F.col("_cv")) / (_norm(F.col("_qv")) * _norm(F.col("_cv"))), 6)
+    scored = pairs.select("query_id", "neighbor_id", sim.alias("cosine_sim"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "cosine_sim")
+    )
+
+
 def lsh_near_pairs(
     df: DataFrame,
     *,

@@ -620,6 +620,47 @@ def emb_lsh_near_pairs(spark, sf_dir):
     )
 
 
+def _fold_dot(a: str, b: str, dim: int = 64) -> str:
+    """DuckDB left-fold dot product — same summation order as Spark's
+    F.aggregate fold, so doubles match bit-for-bit."""
+    return (f"list_reduce(list_prepend(0.0, list_transform(range(1, {dim + 1}), "
+            f"i -> {a}[i] * {b}[i])), (acc, x) -> acc + x)")
+
+
+def emb_ivf_topk(spark, sf_dir):
+    """IVF ANN (nprobe=1): deterministic coarse quantizer (seeds = lowest 16
+    ids) + exact cosine top-k within the query's cell — the candidate join
+    shuffles on the cell key instead of scanning the corpus per query."""
+    return similarity.ivf_topk(
+        _t(spark, sf_dir, "embeddings"), query_ids=list(range(10)), n_cells=16, k=5
+    )
+
+
+EMB_IVF_SQL = f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+seeds AS (SELECT vec_id AS seed_id, vec AS svec FROM v WHERE vec_id < 16),
+sims AS (SELECT v.vec_id, seed_id,
+           round({_fold_dot('vec', 'svec')}
+                 / (sqrt({_fold_dot('vec', 'vec')}) * sqrt({_fold_dot('svec', 'svec')})), 6) AS s
+         FROM v CROSS JOIN seeds),
+assign AS (SELECT vec_id, seed_id AS cell FROM
+             (SELECT *, row_number() OVER (PARTITION BY vec_id
+                ORDER BY s DESC, seed_id ASC) AS rn FROM sims)
+           WHERE rn = 1),
+q AS (SELECT a.vec_id AS query_id, a.cell, v.vec AS qv
+      FROM assign a JOIN v ON v.vec_id = a.vec_id WHERE a.vec_id < 10),
+c AS (SELECT a.vec_id AS neighbor_id, a.cell, v.vec AS cv
+      FROM assign a JOIN v ON v.vec_id = a.vec_id),
+p AS (SELECT query_id, neighbor_id,
+        round({_fold_dot('qv', 'cv')}
+              / (sqrt({_fold_dot('qv', 'qv')}) * sqrt({_fold_dot('cv', 'cv')})), 6) AS cosine_sim
+      FROM q JOIN c ON q.cell = c.cell AND neighbor_id <> query_id),
+r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+        ORDER BY cosine_sim DESC, neighbor_id ASC) AS rank FROM p)
+SELECT query_id, rank, neighbor_id, cosine_sim FROM r WHERE rank <= 5
+"""
+
+
 # plane component formula mirrors similarity.hyperplane_lsh_buckets (seed 42);
 # all dot products are left folds (list_reduce) to pin fp summation order.
 EMB_LSH_SQL = """
@@ -713,6 +754,7 @@ QUERIES: dict[str, Query] = {
     "doc_ngram_jaccard": doc_ngram_jaccard,
     "doc_minhash_lsh_pairs": doc_minhash_lsh_pairs,
     "emb_cosine_topk": emb_cosine_topk,
+    "emb_ivf_topk": emb_ivf_topk,
     "emb_lsh_near_pairs": emb_lsh_near_pairs,
     "multimodal_media_meta": multimodal_media_meta,
 }
@@ -739,6 +781,7 @@ ORACLES: dict[str, str] = {
     "doc_ngram_jaccard": DOC_NGRAM_JACCARD_SQL,
     "doc_minhash_lsh_pairs": DOC_MINHASH_LSH_SQL,
     "emb_cosine_topk": EMB_COSINE_TOPK_SQL,
+    "emb_ivf_topk": EMB_IVF_SQL,
     "emb_lsh_near_pairs": EMB_LSH_SQL,
     "cdc_replay_snapshot": CDC_REPLAY_SQL,
     "multimodal_media_meta": MULTIMODAL_SQL,

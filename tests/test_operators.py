@@ -156,3 +156,28 @@ def test_lww_dedup_is_partial_aggregated(spark):
     plan = plan_string(dedup_lww(ev, key="user_id", ts_col="ts", seq_col="log_offset"))
     assert "Window" not in plan
     assert plan.count("Aggregate") >= 2  # partial + final
+
+
+def test_lsh_verify_is_candidate_bounded(spark):
+    """The Jaccard verify stage must semi-join the shingle table to candidate
+    ids BELOW the pair aggregation — never run the full corpus self-join
+    (the round-1 scale defect). We assert the physical plan contains a
+    LeftSemi join feeding the shingle self-join."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    df = dedup_ops.minhash_lsh_pairs(docs, k=8, bands=4, shingle_n=2,
+                                     jaccard_threshold=0.2)
+    plan = plan_string(df, "extended")
+    assert "LeftSemi" in plan, f"no semi-join bounding the verify:\n{plan[:3000]}"
+
+
+def test_ivf_topk_shape_and_cells(spark):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    from datax_3_0_0_src_spark.operators.similarity import ivf_assign, ivf_topk
+
+    cells = ivf_assign(emb, n_cells=8)
+    vals = {r["cell"] for r in cells.select("cell").distinct().collect()}
+    assert vals <= set(range(8)) and len(vals) > 1
+    out = ivf_topk(emb, n_cells=8, k=3, query_ids=[0, 1, 2]).collect()
+    assert {r["query_id"] for r in out} <= {0, 1, 2}
+    assert all(1 <= r["rank"] <= 3 for r in out)
+    assert all(r["neighbor_id"] != r["query_id"] for r in out)
