@@ -89,6 +89,26 @@ def lang_id(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> Da
     )
 
 
+# GPT-2-style pre-tokenizer shape, ASCII subset (identical RE2/Java regex
+# semantics cross-engine): contractions, letter runs, digit runs, punct runs —
+# each optionally preceded by one space (the BPE "merge with leading space")
+BPE_ISH_RE = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s']+"
+
+
+def bpe_token_count(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Token counting the way an LLM-data pipeline sizes its corpus: both the
+    whitespace count and a BPE-ish regex pre-tokenization count (the standard
+    ~chars/4 sanity anchor), plus their ratio. Pure Column expressions."""
+    ws = F.size(_tokens(text_col))
+    bpe = F.size(F.regexp_extract_all(F.col(text_col), F.lit(BPE_ISH_RE), F.lit(0)))
+    return df.select(
+        F.col(id_col),
+        ws.alias("n_ws_tokens"),
+        bpe.alias("n_bpe_tokens"),
+        F.round(bpe / ws, 6).alias("bpe_per_word"),
+    )
+
+
 def word_hash_expr(word):
     """Cross-engine word hash: left fold over code points, mod 1e9+7.
 

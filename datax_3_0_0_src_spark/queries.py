@@ -405,6 +405,23 @@ FROM t
 """
 
 
+def doc_token_bpe(spark, sf_dir):
+    """Whitespace + BPE-ish-regex token counts (corpus sizing for LLM data)."""
+    return textstats.bpe_token_count(_t(spark, sf_dir, "documents"))
+
+
+DOC_TOKEN_BPE_SQL = f"""
+WITH t AS (SELECT doc_id, text,
+             len(string_split_regex(trim(text), '\\s+')) AS ws,
+             len(regexp_extract_all(text,
+                 '{textstats.BPE_ISH_RE.replace("'", "''")}')) AS bpe
+           FROM documents)
+SELECT doc_id, ws AS n_ws_tokens, bpe AS n_bpe_tokens,
+       round(bpe * 1.0 / ws, 6) AS bpe_per_word
+FROM t
+"""
+
+
 def doc_quality(spark, sf_dir):
     return textstats.quality_score(_t(spark, sf_dir, "documents"))
 
@@ -745,6 +762,7 @@ QUERIES: dict[str, Query] = {
     "events_minutely": events_minutely,
     "transform_pipeline": transform_pipeline,
     "doc_token_stats": doc_token_stats,
+    "doc_token_bpe": doc_token_bpe,
     "doc_quality": doc_quality,
     "doc_lang_id": doc_lang_id,
     "doc_fingerprint": doc_fingerprint,
@@ -772,6 +790,7 @@ ORACLES: dict[str, str] = {
     "events_minutely": EVENTS_MINUTELY_SQL,
     "transform_pipeline": TRANSFORM_SQL,
     "doc_token_stats": DOC_TOKEN_STATS_SQL,
+    "doc_token_bpe": DOC_TOKEN_BPE_SQL,
     "doc_quality": DOC_QUALITY_SQL,
     "doc_lang_id": DOC_LANG_ID_SQL,
     "doc_fingerprint": DOC_FINGERPRINT_SQL,

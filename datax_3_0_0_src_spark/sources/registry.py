@@ -97,11 +97,10 @@ def read_json(spark: SparkSession, p: dict) -> DataFrame:
     return _apply_columns(r.json(*_paths(p)), p)
 
 
-@register_reader("jdbc")
-def read_jdbc(spark: SparkSession, p: dict) -> DataFrame:
-    """mysqlreader-family: PK-range parallel read. Spark implements the same
-    MIN/MAX + equal-width range split DataX hand-rolls
-    (SingleTableSplitUtil.java:279-289 min/max SQL, :33-124 bisection)."""
+def jdbc_read_options(p: dict) -> dict:
+    """Assemble Spark JDBC reader options from a DataX mysqlreader-shaped conf
+    — pure, unit-testable without a database. querySql maps to a derived-table
+    dbtable (SingleTableSplitUtil.buildQuerySql parity)."""
     opts = {"url": p["jdbcUrl"], "dbtable": p.get("table") or f"({p['querySql']}) q"}
     for k_src, k_dst in [
         ("username", "user"), ("password", "password"), ("splitPk", "partitionColumn"),
@@ -110,6 +109,15 @@ def read_jdbc(spark: SparkSession, p: dict) -> DataFrame:
     ]:
         if p.get(k_src) is not None:
             opts[k_dst] = str(p[k_src])
+    return opts
+
+
+@register_reader("jdbc")
+def read_jdbc(spark: SparkSession, p: dict) -> DataFrame:
+    """mysqlreader-family: PK-range parallel read. Spark implements the same
+    MIN/MAX + equal-width range split DataX hand-rolls
+    (SingleTableSplitUtil.java:279-289 min/max SQL, :33-124 bisection)."""
+    opts = jdbc_read_options(p)
     return _apply_columns(spark.read.format("jdbc").options(**opts).load(), p)
 
 

@@ -1,0 +1,112 @@
+"""Streaming windowed aggregation + custom stateful operators.
+
+Two Structured-Streaming capabilities the batch engine's users need on live
+tails (SURVEY §2.6; reference parity: otsstreamreader consumes a change tail
+continuously, RecordProcessor.java:137-248 — aggregation/session semantics on
+that tail are what a warehouse does downstream):
+
+- ``minutely_counts_stream``: event-time tumbling window + watermark, so late
+  events (bounded by the watermark) still land in their window and state is
+  evicted deterministically. This is the streaming twin of the batch
+  ``events_minutely`` query.
+- ``sessionize_stream``: a CUSTOM stateful operator via
+  ``applyInPandasWithState`` (Arrow-batched, no per-row Python): 30-minute
+  inactivity sessionization keyed by user, state carrying the open session
+  across micro-batches; emits updated sessions each batch (update mode). The
+  streaming twin of the batch ``events_sessionize`` query — a single
+  availableNow pass produces exactly the batch result (tested).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+EVENTS_DDL = ("event_id long, user_id long, ts timestamp, "
+              "event_type string, value double, props string")
+
+
+def minutely_counts_stream(
+    spark: SparkSession,
+    events_dir: str,
+    *,
+    schema_ddl: str = EVENTS_DDL,
+    watermark: str = "10 minutes",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Tumbling 1-minute counts per event_type with a late-data watermark."""
+    reader = spark.readStream.schema(schema_ddl)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    ev = reader.parquet(events_dir)
+    return (
+        ev.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 minute").alias("w"), F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("total_value"))
+        .select(F.col("w.start").alias("minute"), "event_type", "n", "total_value")
+    )
+
+
+SESSION_OUT_DDL = "user_id long, session_id long, n_events long, session_value double"
+SESSION_STATE_DDL = "last_ts long, session_id long, n long, val double"
+GAP_S = 1800
+
+
+def _sessionize_fn(key, pdf_iter, state):
+    """Per-user sessionizer: continue the open session from state, split on
+    >30-min gaps, emit every session touched by this batch (update mode)."""
+    (user_id,) = key
+    if state.exists:
+        last_ts, session_id, n, val = state.get
+    else:
+        last_ts, session_id, n, val = None, 0, 0, 0.0
+
+    rows = []
+    events = pd.concat(list(pdf_iter), ignore_index=True)
+    events = events.sort_values(["ts", "event_id"])
+    emitted: dict[int, tuple[int, float]] = {}
+    for ts_val, v in zip(
+        (events["ts"].astype("datetime64[us]").astype("int64") // 1_000_000),
+        events["value"],
+    ):
+        if last_ts is None or ts_val - last_ts > GAP_S:
+            session_id, n, val = session_id + 1, 0, 0.0
+        n += 1
+        val += float(v) if v == v else 0.0  # NaN-safe
+        last_ts = int(ts_val)
+        emitted[session_id] = (n, val)
+    state.update((last_ts, session_id, n, val))
+    for sid, (sn, sval) in emitted.items():
+        rows.append((user_id, sid, sn, round(sval, 4)))
+    yield pd.DataFrame(rows, columns=["user_id", "session_id", "n_events", "session_value"])
+
+
+def sessionize_stream(
+    spark: SparkSession,
+    events_dir: str,
+    *,
+    schema_ddl: str = EVENTS_DDL,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """30-minute-gap sessionization as a custom stateful streaming operator
+    (``applyInPandasWithState``), keyed by user; state carries the open
+    session across micro-batches. Event-time ordering within a user is
+    guaranteed per-batch by sorting; cross-batch order relies on the source's
+    epoch ordering (the WAL contract)."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    reader = spark.readStream.schema(schema_ddl)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    ev = reader.parquet(events_dir)
+    return (
+        ev.groupBy("user_id")
+        .applyInPandasWithState(
+            _sessionize_fn,
+            outputStructType=SESSION_OUT_DDL,
+            stateStructType=SESSION_STATE_DDL,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -106,3 +106,20 @@ def test_dbapi_writer_per_row_dirty_fallback(spark, sqlite_db):
     n = con.execute("SELECT count(*) FROM pages").fetchone()[0]
     con.close()
     assert n == 3
+
+
+def test_jdbc_reader_option_assembly():
+    from datax_3_0_0_src_spark.sources.registry import jdbc_read_options
+
+    # splitPk-range parallel read (SingleTableSplitUtil parity)
+    opts = jdbc_read_options({
+        "jdbcUrl": "jdbc:mysql://h:3306/db", "table": "pages",
+        "username": "u", "password": "s", "splitPk": "id",
+        "lowerBound": 0, "upperBound": 100000, "channel": 8, "fetchSize": 2048,
+    })
+    assert opts["dbtable"] == "pages" and opts["partitionColumn"] == "id"
+    assert opts["numPartitions"] == "8" and opts["fetchsize"] == "2048"
+    assert opts["lowerBound"] == "0" and opts["upperBound"] == "100000"
+    # querySql maps to a derived table
+    opts = jdbc_read_options({"jdbcUrl": "u", "querySql": "SELECT a FROM t WHERE x"})
+    assert opts["dbtable"] == "(SELECT a FROM t WHERE x) q"
