@@ -516,18 +516,36 @@ class LakeTable:
         df = self._read_files(
             [f for b in todo for f in snap.bucket_files(b) + snap.bucket_deltas(b)], phys
         )
-        if has_deltas:
-            # LWW fold — only valid for merge-maintained buckets (unique keys
-            # per (key, offset)); append-only tables never carry deltas
-            df = self._resolve_lww(df, key, ts_col)
         df = df.withColumn(SYS_BUCKET, self._bucket_expr(key))
-        if target_files_per_bucket == 1:
-            df = df.repartition(len(todo), F.col(SYS_BUCKET))
-        else:
-            df = df.repartition(
-                len(todo) * target_files_per_bucket, F.col(SYS_BUCKET),
-                F.pmod(F.xxhash64(F.col(key)), F.lit(target_files_per_bucket)),
+        salt = (
+            F.pmod(F.xxhash64(F.col(key)), F.lit(target_files_per_bucket))
+            if target_files_per_bucket > 1 else F.lit(0)
+        )
+        df = df.withColumn("_salt", salt).repartition(
+            len(todo) * target_files_per_bucket, F.col(SYS_BUCKET), F.col("_salt")
+        )
+        if has_deltas:
+            # LWW fold in ONE exchange: (bucket, salt) is a pure function of
+            # the key, so every key's rows are co-located by the layout
+            # repartition above; a sort within those partitions + lag-filter
+            # picks the (ts, offset)-max winner per key without the hash
+            # aggregation of wide structs or a second shuffle. Only valid for
+            # merge-maintained buckets (one row per (key, offset));
+            # append-only tables never carry deltas.
+            from pyspark.sql import Window
+
+            w = Window.partitionBy(SYS_BUCKET, "_salt").orderBy(
+                F.col(key).asc(),
+                F.col(ts_col).desc(),
+                F.coalesce(F.col(SYS_OFFSET), F.lit(-1)).desc(),
             )
+            prev = F.lag(key).over(w)
+            df = (
+                df.withColumn("_first", prev.isNull() | (prev != F.col(key)))
+                .filter(F.col("_first"))
+                .drop("_first")
+            )
+        df = df.drop("_salt")
         version = snap.version + 1
         rel_dir = f"data/v{version:08d}"
         out_dir = os.path.join(self.path, rel_dir)
