@@ -96,6 +96,59 @@ def _apply_transformer(df: DataFrame, t: dict) -> DataFrame:
     )
 
 
+def run_cdc_job(spark: SparkSession, spec: JobSpec | dict | str, *, hooks: list | None = None):
+    """One job JSON = one full CDC sync — the DataX contract (a single
+    configuration document describes reader, writer, speed and errorLimit;
+    JobContainer executes it end-to-end) applied to the replay engine:
+
+      reader  = {"name": "eventlog", "parameter": {"path": <WAL dir>}}
+      writer  = {"name": "lake", "parameter": {"path", "workDir"?, "numBuckets"?,
+                 "mergeMode"?, "saltPartitions"?, "lineageLevel"?}}
+      setting.speed.record      -> max_events_per_batch (channel flow control,
+                                   Channel.statPush semantics)
+      setting.errorLimit.record/percentage -> quarantine abort thresholds
+
+    Returns the list of BatchResults (resume-safe: re-running the same job
+    JSON continues from the last committed (epoch, sub))."""
+    from .cdc.replayer import ReplayConfig, Replayer
+
+    if isinstance(spec, str):
+        spec = JobSpec.from_json(spec)
+    elif isinstance(spec, dict):
+        spec = JobSpec.from_json(json.dumps(spec))
+    rp = spec.reader.get("parameter", {})
+    wp = spec.writer.get("parameter", {})
+    cfg = ReplayConfig(
+        log_dir=rp["path"],
+        table_path=wp["path"],
+        work_dir=wp.get("workDir") or wp["path"] + "_work",
+        num_buckets=wp.get("numBuckets", 16),
+        max_events_per_batch=spec.speed.get("record"),
+        salt_partitions=wp.get("saltPartitions"),
+        error_record_limit=spec.error_limit.get("record"),
+        error_percentage_limit=spec.error_limit.get("percentage", 0.05),
+        merge_mode=wp.get("mergeMode", "mor"),
+        lineage_level=wp.get("lineageLevel", "bucket"),
+        key=wp.get("key", "url"),
+        ts_col=wp.get("tsCol", "warc_ts"),
+    )
+    for sql in spec.pre_sql:
+        spark.sql(sql)
+    rep = Replayer(spark, cfg)
+    results = rep.run()
+    for sql in spec.post_sql:
+        spark.sql(sql)
+    summary = {
+        "batches": len(results),
+        "events_read": sum(r.events_read for r in results),
+        "events_applied": sum(r.events_applied for r in results),
+        "events_quarantined": sum(r.events_quarantined for r in results),
+    }
+    for hook in hooks or []:
+        hook(mask_secrets({"reader": spec.reader, "writer": spec.writer}), summary)
+    return results
+
+
 def run_job(spark: SparkSession, spec: JobSpec | dict | str, *, hooks: list | None = None):
     """Execute preSql -> reader -> transformers -> writer -> postSql -> hooks
     (JobContainer.start lite; hooks mirror the SPI Hook.invoke(conf, metrics)

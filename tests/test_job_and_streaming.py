@@ -118,3 +118,41 @@ def test_streaming_replay_matches_oracle(spark, tmp_path):
     exp = expected_pages(gcfg)
     assert list(got["url"]) == list(exp["url"])
     assert list(got["text"]) == list(exp["text"])
+
+
+def test_cdc_job_spec_end_to_end(spark, tmp_path):
+    """One DataX-shaped job JSON == one full CDC sync: eventlog reader ->
+    rate-capped micro-batches -> lake MERGE; resume-safe; error limits wired."""
+    from datax_3_0_0_src_spark.config import run_cdc_job
+
+    gcfg = EventGenConfig(seed=42, n_events=2_000, events_per_epoch=1_000)
+    log = str(tmp_path / "wal")
+    write_event_log(spark, gcfg, log, slices=2)
+    hooks = []
+    job = {
+        "job": {
+            "setting": {"speed": {"record": 600},
+                        "errorLimit": {"percentage": 0.05}},
+            "content": [{
+                "reader": {"name": "eventlog", "parameter": {"path": log}},
+                "writer": {"name": "lake",
+                           "parameter": {"path": str(tmp_path / "pages"),
+                                         "workDir": str(tmp_path / "work"),
+                                         "numBuckets": 4,
+                                         "password": "s3cret"}},
+            }],
+        }
+    }
+    results = run_cdc_job(spark, job, hooks=[lambda conf, s: hooks.append((conf, s))])
+    assert len(results) == 4  # 2 epochs x ceil(1000/600) sub-batches
+    assert max(r.events_read for r in results) <= 600
+    t = LakeTable.load(spark, str(tmp_path / "pages"))
+    got = t.read().orderBy("url").toPandas()
+    exp = expected_pages(gcfg)
+    assert list(got["url"]) == list(exp["url"])
+    assert list(got["text"]) == list(exp["text"])
+    # hook got masked conf + totals
+    assert hooks[0][0]["writer"]["parameter"]["password"] == "*****"
+    assert hooks[0][1]["events_read"] == 2_000
+    # re-running the same job JSON is a no-op (exactly-once resume)
+    assert run_cdc_job(spark, job) == []
