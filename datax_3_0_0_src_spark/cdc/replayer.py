@@ -72,6 +72,12 @@ class ReplayConfig:
     # + aggregation of wide binary rows. Keep True when batches carry high
     # duplicate ratios (delta size) or when feeding a COW table.
     dedup_per_batch: bool = True
+    # MOR only: pipeline N micro-batches concurrently (driver thread pool;
+    # Spark schedules their jobs side by side). Safe because MOR delta
+    # layering is commit-order-free (LWW comes from (ts, offset) in the data)
+    # and the manifest commit is an optimistic-retry CAS. Amortizes per-batch
+    # fixed costs (job scheduling, commit, Python dispatch) across batches.
+    max_concurrent_batches: int = 1
     compact_every: int | None = None   # fold MOR deltas every N batches
     compact_target_files: int = 2      # files/bucket after a fold
     batch_timeout_s: float | None = None   # F13: cancel a wedged batch (watchdog)
@@ -118,6 +124,11 @@ class Replayer:
             raise ValueError(
                 "dedup_per_batch=False requires merge_mode='mor' (COW's "
                 "full-outer merge join needs at most one row per key)"
+            )
+        if cfg.max_concurrent_batches > 1 and cfg.merge_mode != "mor":
+            raise ValueError(
+                "max_concurrent_batches>1 requires merge_mode='mor' (COW "
+                "rewrites shared bucket files; MOR deltas are disjoint)"
             )
         if LakeTable.exists(cfg.table_path):
             self.table = LakeTable.load(spark, cfg.table_path)
@@ -227,7 +238,8 @@ class Replayer:
     def read_epoch(self, epoch: int) -> DataFrame:
         """One WAL segment; its files' own schema (=> additive evolution
         surfaces naturally when later segments carry new columns)."""
-        self._tune_scan_splits(epoch)
+        if not getattr(self, "_split_frozen", False):
+            self._tune_scan_splits(epoch)
         return self.spark.read.parquet(self._epoch_path(epoch)).withColumn(
             "epoch", F.lit(epoch)
         )
@@ -313,32 +325,81 @@ class Replayer:
             sink = self.cfg.report_sink if callable(self.cfg.report_sink) else print
             reporter = PeriodicReporter(self.cfg.report_interval_s, sink=sink).start()
         results: list[BatchResult] = []
+        pending = [p for p in self.plan_batches() if (p[1], p[2]) not in done]
+        if stop_after_batches is not None:
+            pending = pending[:stop_after_batches]
+        conc = max(1, self.cfg.max_concurrent_batches)
         try:
-            for batch_id, epoch, sub, lo, hi in self.plan_batches():
-                if (epoch, sub) in done:
-                    continue  # committed-batch guard: exactly-once on re-run
-                res = self._run_batch(batch_id, epoch, sub, lo, hi)
-                results.append(res)
-                if reporter:
-                    reporter.update(
-                        events_read=res.events_read,
-                        events_applied=res.events_applied,
-                        events_quarantined=res.events_quarantined,
-                        batches=1,
-                    )
-                if (
-                    self.cfg.compact_every
-                    and len(results) % self.cfg.compact_every == 0
-                ):
+            if conc == 1:
+                for batch_id, epoch, sub, lo, hi in pending:
+                    res = self._run_batch(batch_id, epoch, sub, lo, hi)
+                    results.append(res)
+                    if reporter:
+                        reporter.update(
+                            events_read=res.events_read,
+                            events_applied=res.events_applied,
+                            events_quarantined=res.events_quarantined,
+                            batches=1,
+                        )
+                    if (
+                        self.cfg.compact_every
+                        and len(results) % self.cfg.compact_every == 0
+                    ):
+                        self.table.compact(
+                            target_files_per_bucket=self.cfg.compact_target_files
+                        )
+            else:
+                # pipelined batches: MOR deltas are commit-order-free, so a
+                # driver thread pool overlaps batch N+1's scan/extract with
+                # batch N's write — per-batch fixed costs amortize across the
+                # pipeline. Scan-split tuning is frozen once (session-global
+                # conf must not flap under concurrent planners).
+                from concurrent.futures import ThreadPoolExecutor, as_completed
+
+                self._freeze_scan_splits([p[1] for p in pending])
+                with ThreadPoolExecutor(max_workers=conc) as pool:
+                    futs = {
+                        pool.submit(self._run_batch, *p): p for p in pending
+                    }
+                    for fut in as_completed(futs):
+                        res = fut.result()  # propagate the first failure
+                        results.append(res)
+                        if reporter:
+                            reporter.update(
+                                events_read=res.events_read,
+                                events_applied=res.events_applied,
+                                events_quarantined=res.events_quarantined,
+                                batches=1,
+                            )
+                results.sort(key=lambda r: r.batch_id)
+                if self.cfg.compact_every and results:
                     self.table.compact(
                         target_files_per_bucket=self.cfg.compact_target_files
                     )
-                if stop_after_batches is not None and len(results) >= stop_after_batches:
-                    break
         finally:
             if reporter:
                 reporter.stop()
         return results
+
+    def _freeze_scan_splits(self, epochs: list[int]) -> None:
+        """Concurrent mode: size splits once from the largest pending epoch
+        and pin them (spark.conf is session-global — per-batch re-tuning
+        would race across planner threads)."""
+        sizes = []
+        for e in set(epochs):
+            p = self._epoch_path(e)
+            try:
+                sizes.append(sum(
+                    os.path.getsize(os.path.join(p, f))
+                    for f in os.listdir(p) if f.endswith(".parquet")
+                ))
+            except OSError:
+                continue
+        if sizes:
+            par = self.spark.sparkContext.defaultParallelism
+            target = min(max(max(sizes) // (par * 2), 4 << 20), 128 << 20)
+            self.spark.conf.set("spark.sql.files.maxPartitionBytes", str(target))
+        self._split_frozen = True
 
     def _run_batch(
         self, batch_id: int, epoch: int, sub: int,

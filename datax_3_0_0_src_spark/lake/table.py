@@ -414,10 +414,19 @@ class LakeTable:
         delta files and commit. No table reads, no join — per-batch cost is
         O(batch) regardless of table size; resolution happens in
         read()/compact(). Per-bucket row counts come from the parquet footers
-        (driver-side metadata, no extra Spark job)."""
+        (driver-side metadata, no extra Spark job).
+
+        CONCURRENCY-SAFE: the delta dir name carries a unique token (never
+        contended) and the manifest commit is an optimistic-retry loop — a
+        loser re-reads the latest snapshot and re-layers only its own files,
+        so disjoint micro-batches can be applied by concurrent committers
+        (delta layering is order-free: LWW is resolved from (ts, offset) in
+        the data, not from commit order). A crashed attempt's orphan dir is
+        unreferenced and reclaimed by expire_snapshots."""
+        import uuid
+
         nb = snap.num_buckets
-        version = snap.version + 1
-        rel_dir = f"data/v{version:08d}"
+        rel_dir = f"data/d{snap.version + 1:08d}-{uuid.uuid4().hex[:8]}"
         out_dir = os.path.join(self.path, rel_dir)
 
         # controlled layout: ~write_salt files per touched bucket (without the
@@ -429,8 +438,7 @@ class LakeTable:
             F.col(SYS_BUCKET),
             F.pmod(F.xxhash64(F.col(key)), F.lit(write_salt)),
         )
-        # overwrite: reclaim an orphan dir from a crashed attempt (see merge)
-        s.write.mode("overwrite").partitionBy(SYS_BUCKET).parquet(out_dir)
+        s.write.mode("errorifexists").partitionBy(SYS_BUCKET).parquet(out_dir)
 
         import pyarrow.parquet as pq
 
@@ -441,24 +449,39 @@ class LakeTable:
         }
         batch_rows = int(sum(per_bucket.values()))
         n_new = sum(len(fs) for fs in written.values())
-        new_deltas = {b: list(fs) for b, fs in snap.deltas.items()}
-        for b, fs in written.items():
-            new_deltas[str(b)] = new_deltas.get(str(b), []) + fs
-        new_snap = Snapshot(
-            version=version, parent=snap.version,
-            schema_json=user_schema.json(), num_buckets=nb, files=dict(snap.files),
-            properties={**snap.properties, **(properties or {})},
-            summary={
-                "touched_buckets": len(written),
-                "batch_rows": batch_rows,
-                "batch_deletes": -1,
-                "new_files": n_new,
-                "merge_mode": "mor",
-            },
-            deltas=new_deltas,
-        )
-        write_snapshot(self.path, new_snap)
-        return MergeStats(version, len(written), batch_rows, -1, n_new, per_bucket)
+
+        for _attempt in range(64):
+            base = self.snapshot()  # freshest — another committer may have won
+            # re-derive evolution against the freshest schema
+            base_schema = StructType.fromJson(__import__("json").loads(base.schema_json))
+            merged_fields = list(base_schema.fields) + [
+                f for f in user_schema.fields if f.name not in base_schema.fieldNames()
+            ]
+            new_deltas = {b: list(fs) for b, fs in base.deltas.items()}
+            for b, fs in written.items():
+                new_deltas[str(b)] = new_deltas.get(str(b), []) + fs
+            new_snap = Snapshot(
+                version=base.version + 1, parent=base.version,
+                schema_json=StructType(merged_fields).json(),
+                num_buckets=nb, files=dict(base.files),
+                properties={**base.properties, **(properties or {})},
+                summary={
+                    "touched_buckets": len(written),
+                    "batch_rows": batch_rows,
+                    "batch_deletes": -1,
+                    "new_files": n_new,
+                    "merge_mode": "mor",
+                },
+                deltas=new_deltas,
+            )
+            try:
+                write_snapshot(self.path, new_snap)
+                break
+            except FileExistsError:
+                continue  # optimistic-concurrency loser: re-layer and retry
+        else:
+            raise RuntimeError("MOR commit lost the optimistic race 64 times")
+        return MergeStats(new_snap.version, len(written), batch_rows, -1, n_new, per_bucket)
 
     # ------------------------------------------------------------- append
     def append(self, df: DataFrame, *, properties: dict | None = None) -> MergeStats:

@@ -153,3 +153,27 @@ def test_nodedup_requires_mor(spark, tmp_path):
     with _pytest.raises(ValueError, match="mor"):
         make_replayer(spark, str(tmp_path / "w"), str(tmp_path / "wk"),
                       str(tmp_path / "t"), dedup_per_batch=False, merge_mode="cow")
+
+
+def test_concurrent_batches_same_state(spark, log_and_work):
+    """Pipelined micro-batches (MOR delta layering is commit-order-free):
+    concurrent apply + optimistic manifest CAS must converge to the
+    byte-identical oracle state and stay exactly-once on re-run."""
+    log_dir, work, table = log_and_work
+    rep = make_replayer(spark, log_dir, work, table,
+                        max_events_per_batch=400, max_concurrent_batches=3)
+    results = rep.run()
+    assert len(results) == 9
+    assert_state_matches(rep, CFG)
+    rep2 = make_replayer(spark, log_dir, work, table,
+                         max_events_per_batch=400, max_concurrent_batches=3)
+    assert rep2.run() == []  # all (epoch, sub) pairs committed
+    assert_state_matches(rep2, CFG)
+
+
+def test_concurrent_requires_mor(spark, tmp_path):
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="mor"):
+        make_replayer(spark, str(tmp_path / "w"), str(tmp_path / "wk"),
+                      str(tmp_path / "t"), max_concurrent_batches=2,
+                      merge_mode="cow")
