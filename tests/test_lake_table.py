@@ -264,3 +264,32 @@ def test_cow_merge_onto_mor_deltas_folds_them(spark, tmp_table_dir):
     snap = t.snapshot()
     # the touched bucket's deltas were folded into the rewritten base
     assert snap.all_deltas() == [] and snap.all_files()
+
+
+def test_mor_concurrent_committers_optimistic_cas(spark, tmp_table_dir):
+    """Two threads merging disjoint MOR batches race on the manifest: the
+    optimistic CAS must layer BOTH deltas (no lost update) in some order."""
+    import threading
+
+    t = make_table(spark, tmp_table_dir)
+    rows_a = [(f"a{i}", f"2024-01-01T00:00:{i:02d}", "<x>", f"A{i}", "en", i, "I")
+              for i in range(20)]
+    rows_b = [(f"b{i}", f"2024-01-01T01:00:{i:02d}", "<x>", f"B{i}", "en", 100 + i, "I")
+              for i in range(20)]
+    errs = []
+
+    def do(rows):
+        try:
+            t.merge(batch(spark, rows), mode="mor")
+        except Exception as e:  # noqa: BLE001
+            errs.append(e)
+
+    th = [threading.Thread(target=do, args=(r,)) for r in (rows_a, rows_b)]
+    [x.start() for x in th]
+    [x.join() for x in th]
+    assert not errs
+    snap = t.snapshot()
+    assert snap.version == 2  # two commits, serialized by the CAS
+    got = state(t)
+    assert len(got) == 40  # both batches present — no lost update
+    assert got["a5"][1] == "A5" and got["b7"][1] == "B7"
