@@ -77,7 +77,8 @@ base = {shm!r} + f"/datax_bench_replay_{{cores}}"
 for warm in (True, False):
     shutil.rmtree(base, ignore_errors=True)
     rep = Replayer(spark, ReplayConfig(log_dir={wal!r}, table_path=base + "/pages",
-                                       work_dir=base + "/work", num_buckets=16))
+                                       work_dir=base + "/work", num_buckets=16,
+                                       max_concurrent_batches={conc}))
     t0 = time.monotonic()
     res = rep.run()
     dt = time.monotonic() - t0
@@ -95,7 +96,8 @@ spark.stop()
 
 def replay_subprocess(cores: int) -> tuple[float, float, int]:
     env = dict(os.environ, SPARK_DRIVER_MEM=os.environ.get("SPARK_DRIVER_MEM", "48g"))
-    code = _CHILD.format(repo=REPO, cores=cores, shm=SHM, wal=WAL_CACHE)
+    code = _CHILD.format(repo=REPO, cores=cores, shm=SHM, wal=WAL_CACHE,
+                         conc=int(os.environ.get("BENCH_CONC", "1")))
     out = subprocess.run(
         [sys.executable, "-c", code], capture_output=True, text=True,
         env=env, timeout=1800, check=False,
