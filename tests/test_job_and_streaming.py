@@ -156,3 +156,30 @@ def test_cdc_job_spec_end_to_end(spark, tmp_path):
     assert hooks[0][1]["events_read"] == 2_000
     # re-running the same job JSON is a no-op (exactly-once resume)
     assert run_cdc_job(spark, job) == []
+
+
+def test_cli_main_runs_cdc_job(spark, tmp_path):
+    """Engine.main parity: `-m datax_3_0_0_src_spark -job job.json` executes a
+    CDC job document end-to-end (in-process main(); the SparkSession is
+    reused via getOrCreate)."""
+    import json as _json
+
+    from datax_3_0_0_src_spark.__main__ import main
+
+    gcfg = EventGenConfig(seed=13, n_events=1_000, events_per_epoch=500)
+    log = str(tmp_path / "wal")
+    write_event_log(spark, gcfg, log, slices=2)
+    job = {
+        "job": {"setting": {}, "content": [{
+            "reader": {"name": "eventlog", "parameter": {"path": log}},
+            "writer": {"name": "lake",
+                       "parameter": {"path": str(tmp_path / "pages"),
+                                     "workDir": str(tmp_path / "work"),
+                                     "numBuckets": 4}},
+        }]}
+    }
+    jpath = tmp_path / "job.json"
+    jpath.write_text(_json.dumps(job))
+    assert main(["-job", str(jpath)]) == 0
+    t = LakeTable.load(spark, str(tmp_path / "pages"))
+    assert t.read().count() > 0
