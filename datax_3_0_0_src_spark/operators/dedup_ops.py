@@ -203,6 +203,60 @@ def minhash_lsh_pairs(
     )
 
 
+def simhash_near_pairs(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 16,
+    bands: int = 4,
+    max_hamming: int = 2,
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance, at scale via band buckets.
+
+    The simhash is split into ``bands`` equal bit-chunks; pairs sharing any
+    chunk value become candidates (one shuffle on the small (band, value)
+    key), then the exact Hamming filter verifies. With
+    ``max_hamming < bands`` the pigeonhole principle makes recall EXACT: two
+    hashes differing in <= max_hamming bits must agree on at least one whole
+    band — so the output equals the brute-force all-pairs answer, computed
+    without the quadratic join (the DuckDB oracle brute-forces over the
+    distinct simhash values to check exactly this)."""
+    if max_hamming >= bands:
+        raise ValueError("exact recall needs max_hamming < bands")
+    band_bits = bits // bands
+    sig = simhash(df, id_col=id_col, text_col=text_col, bits=bits)
+    chunks = [
+        F.shiftright(F.col("simhash"), b * band_bits)
+        .bitwiseAND(F.lit((1 << band_bits) - 1))
+        for b in range(bands)
+    ]
+    buckets = sig.select(
+        F.col(id_col).alias("_id"), F.col("simhash"),
+        F.posexplode(F.array(*chunks)).alias("band", "val"),
+    )
+    a, b = buckets.alias("a"), buckets.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(
+            F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"),
+            F.col("a.simhash").alias("sh_a"), F.col("b.simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
+    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
+        cand.withColumn("hamming", ham.cast("int"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
 def simhash(df: DataFrame, *, id_col: str = "doc_id", text_col: str = "text", bits: int = 16) -> DataFrame:
     """SimHash over token hashes: bit b set iff sum over tokens of
     (+1 if bit b of H(token) else -1) > 0. Cross-engine integer math."""

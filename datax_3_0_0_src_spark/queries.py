@@ -540,6 +540,30 @@ SELECT doc_id, {total} AS simhash FROM h
 DOC_SIMHASH_SQL = _simhash_sql(16)
 
 
+def doc_simhash_near_pairs(spark, sf_dir):
+    """SimHash Hamming-distance near-dups via band buckets (exact recall for
+    max_hamming < bands by pigeonhole — the oracle brute-forces the distinct
+    simhash values to certify exactly that)."""
+    return dedup_ops.simhash_near_pairs(
+        _t(spark, sf_dir, "documents"), bits=16, bands=4, max_hamming=2
+    )
+
+
+DOC_SIMHASH_PAIRS_SQL = f"""
+WITH s AS ({_simhash_sql(16).strip()}),
+v AS (SELECT simhash, list(doc_id ORDER BY doc_id) AS docs FROM s GROUP BY simhash),
+vp AS (SELECT a.simhash AS ha, b.simhash AS hb, a.docs AS da, b.docs AS db
+       FROM v a JOIN v b ON a.simhash <= b.simhash
+       WHERE bit_count(CAST(xor(a.simhash, b.simhash) AS BIGINT)) <= 2),
+pairs AS (
+  SELECT least(ia, ib) AS id_a, greatest(ia, ib) AS id_b,
+         CAST(bit_count(CAST(xor(ha, hb) AS BIGINT)) AS INT) AS hamming
+  FROM vp, UNNEST(da) AS ua(ia), UNNEST(db) AS ub(ib)
+  WHERE ia <> ib)
+SELECT DISTINCT id_a, id_b, hamming FROM pairs
+"""
+
+
 def doc_ngram_jaccard(spark, sf_dir):
     """Jaccard near-dup pairs with the hot-shingle df cap ON (shingles seen in
     >100 docs carry no discriminating signal and would make the inverted-index
@@ -769,6 +793,7 @@ QUERIES: dict[str, Query] = {
     "doc_exact_dedup": doc_exact_dedup,
     "doc_minhash_signatures": doc_minhash_signatures,
     "doc_simhash": doc_simhash,
+    "doc_simhash_near_pairs": doc_simhash_near_pairs,
     "doc_ngram_jaccard": doc_ngram_jaccard,
     "doc_minhash_lsh_pairs": doc_minhash_lsh_pairs,
     "emb_cosine_topk": emb_cosine_topk,
@@ -797,6 +822,7 @@ ORACLES: dict[str, str] = {
     "doc_exact_dedup": DOC_EXACT_DEDUP_SQL,
     "doc_minhash_signatures": DOC_MINHASH_SQL,
     "doc_simhash": DOC_SIMHASH_SQL,
+    "doc_simhash_near_pairs": DOC_SIMHASH_PAIRS_SQL,
     "doc_ngram_jaccard": DOC_NGRAM_JACCARD_SQL,
     "doc_minhash_lsh_pairs": DOC_MINHASH_LSH_SQL,
     "emb_cosine_topk": EMB_COSINE_TOPK_SQL,

@@ -181,3 +181,24 @@ def test_ivf_topk_shape_and_cells(spark):
     assert {r["query_id"] for r in out} <= {0, 1, 2}
     assert all(1 <= r["rank"] <= 3 for r in out)
     assert all(r["neighbor_id"] != r["query_id"] for r in out)
+
+
+def test_simhash_near_pairs_equals_brute_force(spark):
+    """Pigeonhole exactness: banding with max_hamming < bands must equal the
+    brute-force all-pairs Hamming filter."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet").limit(60)
+    got = {(r["id_a"], r["id_b"], r["hamming"])
+           for r in dedup_ops.simhash_near_pairs(
+               docs, bits=16, bands=4, max_hamming=2).collect()}
+    sig = {r["doc_id"]: r["simhash"] for r in dedup_ops.simhash(docs, bits=16).collect()}
+    brute = set()
+    ids = sorted(sig)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            h = bin(sig[a] ^ sig[b]).count("1")
+            if h <= 2:
+                brute.add((a, b, h))
+    assert got == brute and brute  # equal and non-trivial
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        dedup_ops.simhash_near_pairs(docs, bands=2, max_hamming=2)
