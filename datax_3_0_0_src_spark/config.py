@@ -88,6 +88,13 @@ def _apply_transformer(df: DataFrame, t: dict) -> DataFrame:
     # (TransformerRegistry.registTransformer parity, TransformerRegistry.java:28-62)
     from .operators.transformers import TRANSFORMERS
 
+    if name not in TRANSFORMERS and t.get("class"):
+        # plugin-style dynamic load (LoadUtil/JarLoader equivalent): the spec
+        # names "module.path:function"; loaded once, then cached by name
+        import importlib
+
+        mod, _, attr = t["class"].partition(":")
+        TRANSFORMERS[name] = getattr(importlib.import_module(mod), attr)
     if name in TRANSFORMERS:
         return TRANSFORMERS[name](df, col, paras)
     raise KeyError(

@@ -75,3 +75,35 @@ def test_unknown_transformer_raises(spark, tmp_path):
                 "writer": {"name": "console", "parameter": {}},
             }]},
         })
+
+
+def test_job_spec_class_loading(spark, tmp_path):
+    """Plugin-style dynamic transformer load: the job spec names
+    module:function (LoadUtil plugin-descriptor equivalent)."""
+    import sys
+
+    mod = tmp_path / "user_tx_mod.py"
+    mod.write_text(
+        "from pyspark.sql import functions as F\n"
+        "def dx_upper_dyn(df, column_name, paras):\n"
+        "    return df.withColumn(column_name, F.upper(F.col(column_name)))\n"
+    )
+    sys.path.insert(0, str(tmp_path))
+    try:
+        src = str(tmp_path / "src.parquet")
+        spark.createDataFrame([(1, "ab")], "id long, name string").write.parquet(src)
+        out = str(tmp_path / "out.parquet")
+        run_job(spark, {
+            "job": {"content": [{
+                "reader": {"name": "parquet", "parameter": {"path": src}},
+                "transformer": [{"name": "dx_upper_dyn",
+                                 "class": "user_tx_mod:dx_upper_dyn",
+                                 "parameter": {"columnName": "name"}}],
+                "writer": {"name": "parquet", "parameter": {"path": out}},
+            }]},
+        })
+        got = spark.read.parquet(out).collect()
+        assert got[0]["name"] == "AB"
+    finally:
+        sys.path.remove(str(tmp_path))
+        TRANSFORMERS.pop("dx_upper_dyn", None)
