@@ -36,12 +36,15 @@ class HungTaskGuard:
     ``BatchTimeout``.
     """
 
-    def __init__(self, spark, timeout_s: float, group: str):
+    def __init__(self, spark, timeout_s: float, group: str,
+                 late_cancel_sink: Callable[[str], None] = print):
         self.spark = spark
         self.timeout_s = timeout_s
         self.group = group
         self._fired = False
         self._timer: threading.Timer | None = None
+        self._t0: float | None = None
+        self.late_cancel_sink = late_cancel_sink
 
     def _cancel(self) -> None:
         self._fired = True
@@ -54,6 +57,7 @@ class HungTaskGuard:
         self.spark.sparkContext.setJobGroup(
             self.group, f"watchdog budget {self.timeout_s}s", interruptOnCancel=True
         )
+        self._t0 = time.monotonic()
         self._timer = threading.Timer(self.timeout_s, self._cancel)
         self._timer.daemon = True
         self._timer.start()
@@ -66,10 +70,23 @@ class HungTaskGuard:
             self.spark.sparkContext.setJobGroup("", "")
         except Exception:  # noqa: BLE001
             pass
-        if self._fired:
+        if self._fired and exc is not None:
+            # a genuinely wedged batch: the cancellation interrupted a running
+            # Spark action, which raised — surface it as the watchdog verdict
             raise BatchTimeout(
                 f"job group {self.group!r} cancelled after {self.timeout_s}s"
             ) from exc
+        if self._fired:
+            # RACE WINDOW (not a failure): the timer fired after the guarded
+            # block's LAST Spark action completed (possibly after its
+            # checkpoint was written) but before this __exit__ cancelled it.
+            # The batch succeeded — raising here would fail a committed batch
+            # (and, in concurrent mode, the whole pool). Log and return.
+            elapsed = time.monotonic() - (self._t0 or 0.0)
+            self.late_cancel_sink(
+                f"[watchdog] late cancellation of {self.group!r} ignored: block "
+                f"completed without error in {elapsed:.1f}s (budget {self.timeout_s}s)"
+            )
         return False
 
 

@@ -189,21 +189,20 @@ class Replayer:
                 subs = -(-n // cap)
                 bounds = [lo + s * cap for s in range(subs)] + [hi + 1]
             else:
-                # offset gaps: exact boundaries at ranks 0, cap, 2*cap, ...
-                # (one ordered pass per epoch at PLAN time; collects only
-                # n/cap boundary values, never the data)
-                from pyspark.sql import Window
-
-                w = Window.orderBy(seq)
-                starts = [
-                    r[0]
-                    for r in df.select(F.col(seq))
-                    .withColumn("_rn", F.row_number().over(w))
-                    .filter((F.col("_rn") - 1) % cap == 0)
-                    .select(seq)
-                    .collect()
-                ]
-                bounds = sorted(starts) + [hi + 1]
+                # offset gaps: APPROXIMATE boundaries from quantiles (one
+                # distributed Greenwald-Khanna sketch pass per epoch at PLAN
+                # time — no global sort; the previous rank-exact planner put
+                # the whole epoch through a single-partition Window sort,
+                # which is one task sorting 10^8 rows at target scale).
+                # The correctness invariant is SLICE COMPLETENESS — every
+                # event lands in exactly one [b_k, b_k+1) — which holds for
+                # ANY boundary values; the rate cap itself is approximate by
+                # nature, and the sketch keeps each slice within ~0.1% of cap.
+                subs = -(-n // cap)
+                probs = [s_ / subs for s_ in range(1, subs)]
+                qs = df.stat.approxQuantile(seq, probs, 0.001) if probs else []
+                inner = sorted({int(q) for q in qs if lo < int(q) <= hi})
+                bounds = [lo] + inner + [hi + 1]
             for s in range(len(bounds) - 1):
                 plan.append((bid, e, s, bounds[s], bounds[s + 1]))
                 bid += 1
@@ -280,15 +279,63 @@ class Replayer:
                     out.append(json.load(fh))
         return out
 
+    @staticmethod
+    def _committed_prop_key(epoch: int, sub: int) -> str:
+        # every commit durably records its (epoch, sub, batch_id) as a
+        # snapshot property, so reconcile can rebuild ALL missing checkpoints
+        # (not just the last committer's — required for exactly-once under
+        # max_concurrent_batches>1 crashes); the key is pruned (mapped to
+        # None, see lake.table._merged_props) once its checkpoint file is
+        # durable, so manifest properties stay O(in-flight batches)
+        return f"committed:{epoch}:{sub}"
+
+    def _committed_prop_prunes(self) -> dict[str, None]:
+        """{committed:E:S -> None} for pairs whose checkpoint file already
+        exists — piggybacked on the next commit to garbage-collect the
+        bookkeeping keys (driver-side metadata reads only)."""
+        done = {
+            (int(c["epoch"]), int(c.get("sub", 0))) for c in self._read_checkpoints()
+        }
+        out: dict[str, None] = {}
+        for k in self.table.snapshot().properties:
+            if not k.startswith("committed:"):
+                continue
+            _, e, s = k.split(":")
+            if (int(e), int(s)) in done:
+                out[k] = None
+        return out
+
     def last_committed_batch(self) -> int:
-        """MAX(checkpoint files, table snapshot property) — heals a crash
-        between snapshot commit and checkpoint write (commit reconcile)."""
-        ids = [int(c["batch_id"]) for c in self._read_checkpoints()]
+        """MAX(checkpoint files, table snapshot properties) — heals a crash
+        between snapshot commit and checkpoint write (commit reconcile).
+
+        Rebuilds a checkpoint for EVERY ``committed:E:S`` property lacking
+        one, so concurrent-mode crashes (several batches committed, some
+        checkpoints lost) heal completely instead of only the last committer's
+        identity."""
+        ckpts = self._read_checkpoints()
+        done = {(int(c["epoch"]), int(c.get("sub", 0))) for c in ckpts}
+        ids = [int(c["batch_id"]) for c in ckpts]
+        snap = self.table.snapshot()
+        for k, v in snap.properties.items():
+            if not k.startswith("committed:"):
+                continue
+            _, e, s = k.split(":")
+            e, s = int(e), int(s)
+            if (e, s) in done:
+                continue
+            self._write_checkpoint(
+                BatchResult(
+                    batch_id=int(v), epoch=e, sub=s,
+                    events_read=0, events_quarantined=0, events_deduped=0,
+                    events_applied=0, snapshot_version=snap.version, duration_s=0.0,
+                )
+            )
+            ids.append(int(v))
         from_ckpt = max(ids) if ids else -1
+        # legacy single-identity reconcile (tables written before committed:*)
         from_table = self.table.property("last_batch_id", -1)
         if from_table > from_ckpt:
-            # reconcile: snapshot committed but checkpoint lost — rewrite it
-            snap = self.table.snapshot()
             self._write_checkpoint(
                 BatchResult(
                     batch_id=from_table,
@@ -468,9 +515,14 @@ class Replayer:
                 "_reason", "reason"
             )
 
-            # ---- quarantine (idempotent: fixed path per batch, overwrite;
-            # bucket-partitioned so per-bucket dirty counts are footer reads) --
-            qpath = os.path.join(cfg.quarantine_dir, f"batch={batch_id}")
+            # ---- quarantine (idempotent: fixed path per SLICE, overwrite;
+            # bucket-partitioned so per-bucket dirty counts are footer reads).
+            # Keyed by (epoch, sub) like the checkpoints — batch ids are
+            # run-relative and shift when an out-of-order epoch arrives
+            # between runs, which would silently clobber an earlier batch's
+            # dirty-record audit trail at the reused id. Overwrite stays
+            # correct: re-running the SAME slice is idempotent. --------------
+            qpath = os.path.join(cfg.quarantine_dir, f"slice={epoch}-{sub}")
             (dirty.select(
                 F.col(cfg.seq_col).alias("log_offset"),
                 F.lit(epoch).alias("epoch"),
@@ -550,6 +602,9 @@ class Replayer:
                     "last_batch_id": batch_id,
                     "last_epoch": epoch,
                     "last_sub": sub,
+                    self._committed_prop_key(epoch, sub): batch_id,
+                    # GC bookkeeping keys whose checkpoints are already durable
+                    **self._committed_prop_prunes(),
                 },
             )
             applied = stats.batch_rows
@@ -606,7 +661,7 @@ class Replayer:
                     "merge_duration_ms": pa.array(cols[8], pa.int64()),
                 }
             )
-            mpath = os.path.join(cfg.metrics_dir, f"batch={batch_id}")
+            mpath = os.path.join(cfg.metrics_dir, f"slice={epoch}-{sub}")
             os.makedirs(mpath, exist_ok=True)
             pq.write_table(mtable, os.path.join(mpath, "part-0.parquet"))
             lap("metrics_write")
@@ -647,11 +702,11 @@ class Replayer:
 
     # ------------------------------------------------------------- reading
     def metrics(self) -> DataFrame:
-        return self.spark.read.parquet(os.path.join(self.cfg.metrics_dir, "batch=*"))
+        return self.spark.read.parquet(os.path.join(self.cfg.metrics_dir, "slice=*"))
 
     def quarantine(self) -> DataFrame:
-        # basePath: batch=/bucket= are two partition levels under the root
+        # basePath: slice=/bucket= are two partition levels under the root
         return (
             self.spark.read.option("basePath", self.cfg.quarantine_dir)
-            .parquet(os.path.join(self.cfg.quarantine_dir, "batch=*"))
+            .parquet(os.path.join(self.cfg.quarantine_dir, "slice=*"))
         )

@@ -86,15 +86,30 @@ def _apply_transformer(df: DataFrame, t: dict) -> DataFrame:
         return dx_filter(df, col, paras[0], paras[1])
     # SPI fallback: user transformers registered by name
     # (TransformerRegistry.registTransformer parity, TransformerRegistry.java:28-62)
-    from .operators.transformers import TRANSFORMERS
+    from .operators.transformers import TRANSFORMERS, _SPI_CLASS_REFS
 
-    if name not in TRANSFORMERS and t.get("class"):
+    if t.get("class"):
         # plugin-style dynamic load (LoadUtil/JarLoader equivalent): the spec
-        # names "module.path:function"; loaded once, then cached by name
-        import importlib
+        # names "module.path:function"; loaded once, then cached by name.
+        # SECURITY NOTE: like DataX plugin descriptors, "class" EXECUTES CODE
+        # named by the job document (import side effects) — job JSON must be
+        # trusted the same way a plugin jar is.
+        # Conflict check (TransformerRegistry.isConfliction parity): a name
+        # already bound — by register_transformer or by an earlier job spec —
+        # to a DIFFERENT target is an error, never a silent ignore.
+        ref = t["class"]
+        if name in TRANSFORMERS and _SPI_CLASS_REFS.get(name) != ref:
+            raise ValueError(
+                f"transformer {name!r} is already registered "
+                f"({_SPI_CLASS_REFS.get(name) or 'via register_transformer'}); "
+                f"job spec names a conflicting class {ref!r}"
+            )
+        if name not in TRANSFORMERS:
+            import importlib
 
-        mod, _, attr = t["class"].partition(":")
-        TRANSFORMERS[name] = getattr(importlib.import_module(mod), attr)
+            mod, _, attr = ref.partition(":")
+            TRANSFORMERS[name] = getattr(importlib.import_module(mod), attr)
+            _SPI_CLASS_REFS[name] = ref
     if name in TRANSFORMERS:
         return TRANSFORMERS[name](df, col, paras)
     raise KeyError(

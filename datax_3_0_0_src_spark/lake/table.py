@@ -37,6 +37,7 @@ from __future__ import annotations
 
 import os
 import shutil
+import uuid
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
@@ -48,6 +49,16 @@ from .manifest import Snapshot, read_snapshot, write_snapshot
 SYS_OFFSET = "_lww_offset"   # sequence number of the winning event (LWW tiebreak)
 SYS_DELETED = "_deleted"     # tombstone flag
 SYS_BUCKET = "_bucket"       # partition-directory column (not stored inside files)
+
+
+def _merged_props(base: dict, updates: dict | None) -> dict:
+    """Merge property updates into a snapshot's properties; an update mapped
+    to None REMOVES the key. This is the bounded-growth contract for
+    per-batch bookkeeping keys (cdc.replayer's ``committed:E:S`` markers are
+    pruned once their checkpoint file is durable) — without it the manifest
+    would accrete one property per batch forever."""
+    out = {**base, **(updates or {})}
+    return {k: v for k, v in out.items() if v is not None}
 
 
 @dataclass
@@ -302,7 +313,7 @@ class LakeTable:
             new_snap = Snapshot(
                 version=snap.version + 1, parent=snap.version,
                 schema_json=user_schema.json(), num_buckets=nb, files=dict(snap.files),
-                properties={**snap.properties, **(properties or {})},
+                properties=_merged_props(snap.properties, properties),
                 summary={"touched_buckets": 0, "batch_rows": 0, "batch_deletes": 0},
                 deltas=dict(snap.deltas),
             )
@@ -345,13 +356,14 @@ class LakeTable:
 
         # --- write touched buckets, commit snapshot ---------------------
         version = snap.version + 1
-        rel_dir = f"data/v{version:08d}"
+        # unique dir per write attempt: two committers that both computed
+        # version N can never overwrite each other's files — the manifest's
+        # exclusive link stays the ONLY contention point (the loser's dir is
+        # an unreferenced orphan, reclaimed by expire_snapshots), and a
+        # crashed attempt's dir likewise never collides with the retry's
+        rel_dir = f"data/v{version:08d}-{uuid.uuid4().hex[:8]}"
         out_dir = os.path.join(self.path, rel_dir)
-        # overwrite: a crash after the data write but before the manifest
-        # commit leaves an orphan v{N} dir; the retry must be able to reclaim
-        # it (single committer per table — concurrent committers are fenced by
-        # the manifest's exclusive link, not by the data dir)
-        (merged.write.mode("overwrite").partitionBy(SYS_BUCKET).parquet(out_dir))
+        (merged.write.mode("errorifexists").partitionBy(SYS_BUCKET).parquet(out_dir))
 
         written = self._written_buckets(out_dir, rel_dir)
         stray = sorted(set(written) - set(touched))
@@ -373,7 +385,7 @@ class LakeTable:
         new_snap = Snapshot(
             version=version, parent=snap.version,
             schema_json=user_schema.json(), num_buckets=nb, files=new_files,
-            properties={**snap.properties, **(properties or {})},
+            properties=_merged_props(snap.properties, properties),
             summary={
                 "touched_buckets": len(touched),
                 "batch_rows": batch_rows,
@@ -423,8 +435,6 @@ class LakeTable:
         (delta layering is order-free: LWW is resolved from (ts, offset) in
         the data, not from commit order). A crashed attempt's orphan dir is
         unreferenced and reclaimed by expire_snapshots."""
-        import uuid
-
         nb = snap.num_buckets
         rel_dir = f"data/d{snap.version + 1:08d}-{uuid.uuid4().hex[:8]}"
         out_dir = os.path.join(self.path, rel_dir)
@@ -464,7 +474,7 @@ class LakeTable:
                 version=base.version + 1, parent=base.version,
                 schema_json=StructType(merged_fields).json(),
                 num_buckets=nb, files=dict(base.files),
-                properties={**base.properties, **(properties or {})},
+                properties=_merged_props(base.properties, properties),
                 summary={
                     "touched_buckets": len(written),
                     "batch_rows": batch_rows,
@@ -496,9 +506,9 @@ class LakeTable:
             .withColumn(SYS_BUCKET, self._bucket_expr(key))
         )
         version = snap.version + 1
-        rel_dir = f"data/v{version:08d}"
+        rel_dir = f"data/v{version:08d}-{uuid.uuid4().hex[:8]}"  # see merge()
         out_dir = os.path.join(self.path, rel_dir)
-        out.write.mode("overwrite").partitionBy(SYS_BUCKET).parquet(out_dir)
+        out.write.mode("errorifexists").partitionBy(SYS_BUCKET).parquet(out_dir)
         new_files = {b: list(fs) for b, fs in snap.files.items()}
         n_new = 0
         for b, fs in self._written_buckets(out_dir, rel_dir).items():
@@ -507,7 +517,7 @@ class LakeTable:
         new_snap = Snapshot(
             version=version, parent=snap.version, schema_json=snap.schema_json,
             num_buckets=snap.num_buckets, files=new_files,
-            properties={**snap.properties, **(properties or {})},
+            properties=_merged_props(snap.properties, properties),
             summary={"appended_files": n_new},
             deltas=dict(snap.deltas),
         )
@@ -570,9 +580,9 @@ class LakeTable:
             )
         df = df.drop("_salt")
         version = snap.version + 1
-        rel_dir = f"data/v{version:08d}"
+        rel_dir = f"data/v{version:08d}-{uuid.uuid4().hex[:8]}"  # see merge()
         out_dir = os.path.join(self.path, rel_dir)
-        df.write.mode("overwrite").partitionBy(SYS_BUCKET).parquet(out_dir)
+        df.write.mode("errorifexists").partitionBy(SYS_BUCKET).parquet(out_dir)
         new_files = {b: list(fs) for b, fs in snap.files.items() if int(b) not in todo}
         n_new = 0
         for b, fs in self._written_buckets(out_dir, rel_dir).items():

@@ -28,7 +28,6 @@ def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
         df.select(F.col(id_col), F.md5(F.col(text_col).cast("binary")).alias("text_md5"))
         .groupBy("text_md5")
         .agg(F.min(id_col).alias("canonical_id"), F.count(F.lit(1)).alias("n_docs"))
-        .filter(F.col("n_docs") >= 1)
     )
 
 
@@ -208,7 +207,7 @@ def simhash_near_pairs(
     *,
     id_col: str = "doc_id",
     text_col: str = "text",
-    bits: int = 16,
+    bits: int = 60,
     bands: int = 4,
     max_hamming: int = 2,
 ) -> DataFrame:
@@ -221,7 +220,15 @@ def simhash_near_pairs(
     hashes differing in <= max_hamming bits must agree on at least one whole
     band — so the output equals the brute-force all-pairs answer, computed
     without the quadratic join (the DuckDB oracle brute-forces over the
-    distinct simhash values to check exactly this)."""
+    distinct simhash values to check exactly this).
+
+    Scale defaults: bits=60 / bands=4 => 15-bit band values (32,768 distinct
+    per band). Narrow bands are a scale-killer — at the old 16/4 defaults each
+    band value captured ~1/16 of the corpus and the candidate self-join went
+    Theta(N^2/16); 15-bit bands keep each (band, value) bucket ~N/32768, so
+    candidates stay collision-bounded at corpus scale. 60 (not 64) keeps every
+    2^b term inside a positive signed BIGINT in both engines — no sign-bit
+    special-casing under ANSI arithmetic."""
     if max_hamming >= bands:
         raise ValueError("exact recall needs max_hamming < bands")
     band_bits = bits // bands
@@ -257,14 +264,29 @@ def simhash_near_pairs(
     )
 
 
-def simhash(df: DataFrame, *, id_col: str = "doc_id", text_col: str = "text", bits: int = 16) -> DataFrame:
+def simhash_bit_params(b: int) -> tuple[int, int]:
+    """Affine re-hash parameters for simhash bit ``b`` (shared with the
+    DuckDB oracle builder)."""
+    return 1_000_003 + 2 * b, 12_345 * b + 6_789
+
+
+def simhash(df: DataFrame, *, id_col: str = "doc_id", text_col: str = "text", bits: int = 60) -> DataFrame:
     """SimHash over token hashes: bit b set iff sum over tokens of
-    (+1 if bit b of H(token) else -1) > 0. Cross-engine integer math."""
+    (+1 if bit b of the token's b-th re-hash else -1) > 0.
+
+    Bit b is the PARITY OF AN AFFINE RE-HASH ((H(token)*a_b + c_b) mod 1e9+7)
+    rather than bit b of H(token) directly: H is mod 1e9+7 so it carries only
+    ~30 bits — raw bits above that are constant zero (which would make every
+    doc collide in the high bands and send the candidate join quadratic).
+    The re-hash gives every simhash bit full entropy at any width; identical
+    token multisets still hash identically. Cross-engine integer math."""
     toks = F.split(F.trim(F.col(text_col)), r"\s+")
     hashed = F.transform(toks, word_hash_expr)
+
     def bit_sum(b):
+        a, c = simhash_bit_params(b)
         return lambda acc, h: acc + F.when(
-            F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1
+            ((h * a + c) % FP_MOD) % 2 == 1, 1
         ).otherwise(-1)
 
     bit_vals = []

@@ -26,6 +26,10 @@ from pyspark.sql import Column, DataFrame, functions as F
 
 # SPI registry: name -> fn(df, column_name, paras) -> DataFrame
 TRANSFORMERS: dict[str, Callable[[DataFrame, str, list], DataFrame]] = {}
+# provenance of dynamically loaded entries ("module:function" class refs) —
+# lets job-spec loading detect a name bound to a DIFFERENT target (the
+# reference's isConfliction check) instead of silently ignoring the spec
+_SPI_CLASS_REFS: dict[str, str] = {}
 
 
 def register_transformer(name: str):

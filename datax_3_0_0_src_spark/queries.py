@@ -523,10 +523,14 @@ def doc_simhash(spark, sf_dir):
 
 
 def _simhash_sql(bits: int = 16) -> str:
+    # bit b = parity of an affine re-hash of the token hash (mirrors
+    # dedup_ops.simhash_bit_params — raw H bits above ~30 are constant)
     terms = []
     for b in range(bits):
+        a, c = dedup_ops.simhash_bit_params(b)
         terms.append(
-            f"CASE WHEN list_sum(list_transform(hs, h -> CASE WHEN (h >> {b}) & 1 = 1 "
+            f"CASE WHEN list_sum(list_transform(hs, h -> "
+            f"CASE WHEN ((h * {a} + {c}) % 1000000007) % 2 = 1 "
             f"THEN 1 ELSE -1 END)) > 0 THEN CAST({2**b} AS BIGINT) ELSE 0 END"
         )
     total = " + ".join(terms)
@@ -543,14 +547,16 @@ DOC_SIMHASH_SQL = _simhash_sql(16)
 def doc_simhash_near_pairs(spark, sf_dir):
     """SimHash Hamming-distance near-dups via band buckets (exact recall for
     max_hamming < bands by pigeonhole — the oracle brute-forces the distinct
-    simhash values to certify exactly that)."""
+    simhash values to certify exactly that). Runs at the SCALE defaults:
+    60-bit simhash, 15-bit bands (32,768 values/band), so candidate buckets
+    stay collision-bounded instead of capturing ~1/16 of the corpus each."""
     return dedup_ops.simhash_near_pairs(
-        _t(spark, sf_dir, "documents"), bits=16, bands=4, max_hamming=2
+        _t(spark, sf_dir, "documents"), bits=60, bands=4, max_hamming=2
     )
 
 
 DOC_SIMHASH_PAIRS_SQL = f"""
-WITH s AS ({_simhash_sql(16).strip()}),
+WITH s AS ({_simhash_sql(60).strip()}),
 v AS (SELECT simhash, list(doc_id ORDER BY doc_id) AS docs FROM s GROUP BY simhash),
 vp AS (SELECT a.simhash AS ha, b.simhash AS hb, a.docs AS da, b.docs AS db
        FROM v a JOIN v b ON a.simhash <= b.simhash

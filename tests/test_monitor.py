@@ -134,3 +134,87 @@ def test_global_lineage_observe_fewer_jobs_same_state(spark, tmp_path):
     # per-bucket rows carry exact applied counts (footer-derived)
     per_bucket = m[m["partition_id"] >= 0]
     assert (per_bucket["events_applied"] > 0).any()
+
+
+def test_hung_guard_late_fire_does_not_fail_committed_block(spark):
+    """ADVICE fix: the timer firing AFTER the guarded block's last action
+    completed (but before __exit__ cancels it) must not raise — the batch
+    succeeded, possibly checkpoint included; a spurious BatchTimeout would
+    fail a committed batch (and the whole pool in concurrent mode)."""
+    lines: list[str] = []
+    with HungTaskGuard(spark, 0.05, "test-late-fire", late_cancel_sink=lines.append):
+        time.sleep(0.3)  # let the timer fire; no Spark action is in flight
+    assert lines and "late cancellation" in lines[0]
+
+
+def test_late_epoch_does_not_clobber_quarantine_or_metrics(spark, tmp_path):
+    """ADVICE fix: quarantine/metrics are keyed by (epoch, sub) like the
+    checkpoints. A late-arriving lower epoch reuses the run-relative batch_id
+    of an already-committed batch — its audit trail must land BESIDE the
+    earlier batch's, never overwrite it."""
+    import numpy as np
+
+    from datax_3_0_0_src_spark.cdc.oracle import gen_events_pdf, validate_pd
+
+    cfg = EventGenConfig(seed=42, n_events=2_000, events_per_epoch=1_000)
+    log_dir = tmp_path / "wal"
+    write_event_log(spark, cfg, str(log_dir), slices=2)
+    staged = tmp_path / "epoch0_staged"
+    shutil.move(str(log_dir / "epoch=0"), str(staged))
+
+    def mk():
+        return Replayer(spark, ReplayConfig(
+            log_dir=str(log_dir), table_path=str(tmp_path / "pages"),
+            work_dir=str(tmp_path / "work"), num_buckets=4,
+        ))
+
+    r1 = mk()
+    assert [r.epoch for r in r1.run()] == [1]  # epoch 1 commits as batch_id 0
+    q_after_first = r1.quarantine().count()
+    shutil.move(str(staged), str(log_dir / "epoch=0"))
+    r2 = mk()
+    assert [r.epoch for r in r2.run()] == [0]  # late epoch 0 ALSO batch_id 0
+
+    # both epochs' dirty events survive side by side
+    ev = gen_events_pdf(cfg, np.arange(cfg.n_events))
+    n_dirty_total = int((~validate_pd(ev)).sum())
+    assert r2.quarantine().count() == n_dirty_total > q_after_first
+    m = r2.metrics().toPandas()
+    assert m["events_read"].sum() == cfg.n_events  # both batches' metrics kept
+
+
+def test_committed_pair_props_rebuild_all_lost_checkpoints(spark, tmp_path):
+    """ADVICE fix: every commit records committed:E:S in snapshot properties,
+    so reconcile rebuilds EVERY missing checkpoint (not just the last
+    committer's) — exactly-once survives a concurrent-mode crash that loses
+    several checkpoint files. The bookkeeping keys are pruned once their
+    checkpoints are durable again."""
+    import os
+
+    cfg = EventGenConfig(seed=7, n_events=2_000, events_per_epoch=500)
+    log_dir = str(tmp_path / "wal")
+    write_event_log(spark, cfg, log_dir, slices=2)
+
+    def mk():
+        return Replayer(spark, ReplayConfig(
+            log_dir=log_dir, table_path=str(tmp_path / "pages"),
+            work_dir=str(tmp_path / "work"), num_buckets=4,
+            max_concurrent_batches=2,
+        ))
+
+    r1 = mk()
+    results = r1.run()
+    assert len(results) == 4
+    # simulate a crash that lost the LAST TWO checkpoints (their snapshots
+    # committed): exactly the window the single last_batch_id couldn't heal
+    ckpts = sorted(os.listdir(r1.cfg.checkpoint_dir))
+    for f in ckpts[-2:]:
+        os.unlink(os.path.join(r1.cfg.checkpoint_dir, f))
+
+    r2 = mk()
+    assert r2.run() == []  # reconcile rebuilt them: nothing re-applied
+    assert sorted(os.listdir(r2.cfg.checkpoint_dir)) == ckpts
+    # one more commit prunes the committed:* bookkeeping for durable pairs
+    props = r2.table.snapshot().properties
+    committed_keys = [k for k in props if k.startswith("committed:")]
+    assert len(committed_keys) <= 4

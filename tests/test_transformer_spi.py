@@ -107,3 +107,45 @@ def test_job_spec_class_loading(spark, tmp_path):
     finally:
         sys.path.remove(str(tmp_path))
         TRANSFORMERS.pop("dx_upper_dyn", None)
+
+
+def test_job_spec_class_conflict_rejected(spark, tmp_path):
+    """ADVICE fix: a job spec naming a class for an ALREADY-REGISTERED
+    transformer name with a different target must raise (the reference's
+    isConfliction check), never silently ignore the spec's class."""
+    import sys
+
+    mod = tmp_path / "user_tx_conflict.py"
+    mod.write_text(
+        "from pyspark.sql import functions as F\n"
+        "def one(df, column_name, paras):\n"
+        "    return df.withColumn(column_name, F.upper(F.col(column_name)))\n"
+        "def two(df, column_name, paras):\n"
+        "    return df.withColumn(column_name, F.lower(F.col(column_name)))\n"
+    )
+    sys.path.insert(0, str(tmp_path))
+    try:
+        src = str(tmp_path / "src3.parquet")
+        spark.createDataFrame([(1, "aB")], "id long, name string").write.parquet(src)
+
+        def job(class_ref, out):
+            return {
+                "job": {"content": [{
+                    "reader": {"name": "parquet", "parameter": {"path": src}},
+                    "transformer": [{"name": "dx_conf",
+                                     "class": class_ref,
+                                     "parameter": {"columnName": "name"}}],
+                    "writer": {"name": "parquet", "parameter": {"path": out}},
+                }]},
+            }
+
+        run_job(spark, job("user_tx_conflict:one", str(tmp_path / "o1.parquet")))
+        # same name, same class: fine (cached); different class: rejected
+        run_job(spark, job("user_tx_conflict:one", str(tmp_path / "o2.parquet")))
+        with pytest.raises(ValueError, match="conflicting"):
+            run_job(spark, job("user_tx_conflict:two", str(tmp_path / "o3.parquet")))
+    finally:
+        sys.path.remove(str(tmp_path))
+        TRANSFORMERS.pop("dx_conf", None)
+        from datax_3_0_0_src_spark.operators.transformers import _SPI_CLASS_REFS
+        _SPI_CLASS_REFS.pop("dx_conf", None)
