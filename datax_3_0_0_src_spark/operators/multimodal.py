@@ -4,7 +4,7 @@ Images/audio/video ride as ``binary`` columns with a small typed metadata
 struct, processed in Arrow batches via ``mapInPandas`` (never per-row Python
 UDF calls). Container *header* parsing is real, pure-Python, and needs no
 codec libraries: PNG IHDR, JPEG SOF marker scan, RIFF/WAVE fmt+data chunks,
-MP4 ftyp sniffing. Full pixel/sample DECODE (which would need PIL/libav, not
+MP4 ftyp/moov/mvhd/tkhd box walk. Full pixel/sample DECODE (which would need PIL/libav, not
 present in this container) remains out of scope — ``media_feature_vectors``
 is the one declared stand-in (a deterministic pseudo-embedding in place of a
 vision/audio model) so the downstream ANN/dedup path can be exercised.
@@ -103,7 +103,59 @@ def parse_wav(b: bytes) -> tuple[int, int, int] | None:
     return sr, ch or 0, nf
 
 
-_PARSERS = {"image/png": parse_png, "image/jpeg": parse_jpeg, "audio/wav": parse_wav}
+def parse_mp4(b: bytes) -> tuple[int, int, int] | None:
+    """ISO BMFF (MP4) box walk: ``moov/mvhd`` gives (timescale, duration) and
+    the first ``trak/tkhd`` carrying a nonzero 16.16 fixed-point size gives
+    the visual dimensions. Mapped into the shared meta shape as
+    (width, height, n_frames=duration in mvhd timescale ticks — at a
+    ticks-per-frame timescale, e.g. 30 for a 30 fps title, ticks == frames).
+    Header walk only (no codec work); truncated/garbled boxes end the walk
+    and yield null fields, never an error."""
+    if len(b) < 16 or b[4:8] != b"ftyp":
+        return None
+
+    def boxes(lo: int, hi: int):
+        i = lo
+        while i + 8 <= hi:
+            sz = int.from_bytes(b[i:i + 4], "big")
+            if sz < 8 or i + sz > hi:
+                return
+            yield b[i + 4:i + 8], i + 8, i + sz
+            i += sz
+
+    w = h = dur = None
+    for typ, lo, hi in boxes(0, len(b)):
+        if typ != b"moov":
+            continue
+        for t2, lo2, hi2 in boxes(lo, hi):
+            if t2 == b"mvhd" and hi2 - lo2 >= 20:
+                ver = b[lo2]
+                if ver == 1 and hi2 - lo2 >= 32:
+                    dur = int.from_bytes(b[lo2 + 24:lo2 + 32], "big")
+                else:  # v0: ver/flags(4) ctime(4) mtime(4) timescale(4) dur(4)
+                    dur = int.from_bytes(b[lo2 + 16:lo2 + 20], "big")
+            elif t2 == b"trak":
+                for t3, lo3, hi3 in boxes(lo2, hi2):
+                    if t3 != b"tkhd" or w:
+                        continue
+                    # v0: width/height at content offsets +76/+80; v1 +88/+92
+                    off = 88 if b[lo3] == 1 else 76
+                    if hi3 - lo3 >= off + 8:
+                        tw = int.from_bytes(b[lo3 + off:lo3 + off + 4], "big") >> 16
+                        th = int.from_bytes(b[lo3 + off + 4:lo3 + off + 8], "big") >> 16
+                        if tw and th:
+                            w, h = tw, th
+    if dur is None and w is None:
+        return None
+    return w, h, dur
+
+
+_PARSERS = {
+    "image/png": parse_png,
+    "image/jpeg": parse_jpeg,
+    "audio/wav": parse_wav,
+    "video/mp4": parse_mp4,
+}
 
 
 def extract_media_meta(

@@ -99,33 +99,57 @@ def ivf_assign(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_cells: int = 16,
+    broadcast_threshold: int = 64,
 ) -> DataFrame:
     """IVF coarse quantization: assign every vector to its nearest of
     ``n_cells`` centroid seeds (deterministically the vectors with the
     n_cells smallest ids — no iterative k-means, so the assignment is exactly
     reproducible in SQL). Returns (id, cell).
 
-    Scale path: the centroid table is tiny (collected once, embedded as
-    literal arrays => JVM-only expressions, no shuffle); assignment is a
-    narrow map over the corpus. At 100 TB the same structure holds — ~2^10-14
-    cells, argmax over broadcast centroids, then the ANN probe joins on
-    ``cell`` instead of cross-joining the corpus."""
-    seeds = (
-        df.filter(F.col(id_col) < n_cells)
-        .select(id_col, vec_col)
-        .collect()
+    Two physical strategies, same result (identical (sim, lowest-seed-id)
+    argmax rule):
+    - n_cells <= broadcast_threshold: centroids embedded as literal arrays =>
+      pure JVM expressions, narrow map, no join at all;
+    - above it: BROADCAST-JOIN argmax — the centroid table is broadcast and
+      the best cell is picked with a max_by aggregation. Plan size stays KB
+      at the 2^10-2^14 cells a 100 TB corpus wants (the literal form would
+      bloat the plan with n_cells embedded float arrays), at the cost of one
+      map-side-combined aggregation on the vector id."""
+    if n_cells <= broadcast_threshold:
+        seeds = (
+            df.filter(F.col(id_col) < n_cells)
+            .select(id_col, vec_col)
+            .collect()
+        )
+        vec = F.col(vec_col)
+        nv = _norm(vec)
+        entries = []
+        for r in sorted(seeds, key=lambda r: r[0]):
+            sid = int(r[0])
+            svec = F.array(*[F.lit(float(x)) for x in r[1]])
+            sim = F.round(_dot(vec, svec) / (nv * _norm(svec)), 6)
+            # max of (sim, -sid) == best sim, ties to the lowest seed id
+            entries.append(F.struct(sim.alias("s"), F.lit(-sid).cast("long").alias("nid")))
+        cell = -F.array_max(F.array(*entries)).getField("nid")
+        return df.select(F.col(id_col), cell.cast("int").alias("cell"))
+
+    seeds = df.filter(F.col(id_col) < n_cells).select(
+        F.col(id_col).alias("_sid"), F.col(vec_col).alias("_svec")
     )
-    vec = F.col(vec_col)
-    nv = _norm(vec)
-    entries = []
-    for r in sorted(seeds, key=lambda r: r[0]):
-        sid = int(r[0])
-        svec = F.array(*[F.lit(float(x)) for x in r[1]])
-        sim = F.round(_dot(vec, svec) / (nv * _norm(svec)), 6)
-        # max of (sim, -sid) == best sim, ties to the lowest seed id
-        entries.append(F.struct(sim.alias("s"), F.lit(-sid).cast("long").alias("nid")))
-    cell = -F.array_max(F.array(*entries)).getField("nid")
-    return df.select(F.col(id_col), cell.cast("int").alias("cell"))
+    pairs = df.select(F.col(id_col), F.col(vec_col)).crossJoin(F.broadcast(seeds))
+    sim = F.round(
+        _dot(F.col(vec_col), F.col("_svec"))
+        / (_norm(F.col(vec_col)) * _norm(F.col("_svec"))), 6
+    )
+    # max of struct(sim, -sid): best sim, ties to the lowest seed id — the
+    # exact rule of the literal path and of the SQL row_number oracle
+    return (
+        pairs.select(F.col(id_col), F.col("_sid"), sim.alias("_s"))
+        .groupBy(id_col)
+        .agg(F.max(F.struct(F.col("_s").alias("s"),
+                            (-F.col("_sid")).alias("nid"))).alias("m"))
+        .select(F.col(id_col), (-F.col("m.nid")).cast("int").alias("cell"))
+    )
 
 
 def ivf_topk(
@@ -136,13 +160,15 @@ def ivf_topk(
     query_ids: list[int] | None = None,
     n_cells: int = 16,
     k: int = 5,
+    broadcast_threshold: int = 64,
 ) -> DataFrame:
     """IVF ANN search (nprobe=1): exact cosine top-k, but only within the
     query's own quantizer cell — the candidate join shuffles on ``cell``
     instead of broadcasting the corpus. Approximate by design (neighbors in
     other cells are unseen), deterministic, SQL-twin-checkable."""
     query_ids = query_ids or list(range(10))
-    assign = ivf_assign(df, id_col=id_col, vec_col=vec_col, n_cells=n_cells)
+    assign = ivf_assign(df, id_col=id_col, vec_col=vec_col, n_cells=n_cells,
+                        broadcast_threshold=broadcast_threshold)
     withc = df.select(F.col(id_col), F.col(vec_col)).join(assign, id_col)
     q = withc.filter(F.col(id_col).isin(query_ids)).select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"), "cell"

@@ -73,6 +73,11 @@ FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_
 """
 
 
+# WAL fixture cache for the flagship replay query. INVALIDATION RULE: the dir
+# name ENCODES the generator inputs (seed 42, n_events 20000) — any change to
+# EventGenConfig parameters below, or to cdc/gen.py's row construction, MUST
+# change this suffix (bump a version token), or a stale cached WAL from an
+# earlier process would silently feed both the engine and the oracle.
 _REPLAY_BASE = os.path.join(tempfile.gettempdir(), "cdc_replay_snapshot_42_20000")
 
 
@@ -683,9 +688,22 @@ def emb_ivf_topk(spark, sf_dir):
     )
 
 
-EMB_IVF_SQL = f"""
+def emb_ivf_topk_big(spark, sf_dir):
+    """IVF ANN at a cell count past the literal-embedding threshold (128 >
+    64): the centroid assignment runs as a BROADCAST-JOIN argmax — the plan
+    carries no embedded centroid arrays (at the 2^10-2^14 cells a 100 TB
+    corpus wants, literals would bloat every task's plan), same
+    (sim, lowest-seed-id) rule, bit-identical to the SQL twin."""
+    return similarity.ivf_topk(
+        _t(spark, sf_dir, "embeddings"), query_ids=list(range(10)),
+        n_cells=128, k=5,
+    )
+
+
+def _ivf_sql(n_cells: int) -> str:
+    return f"""
 WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
-seeds AS (SELECT vec_id AS seed_id, vec AS svec FROM v WHERE vec_id < 16),
+seeds AS (SELECT vec_id AS seed_id, vec AS svec FROM v WHERE vec_id < {n_cells}),
 sims AS (SELECT v.vec_id, seed_id,
            round({_fold_dot('vec', 'svec')}
                  / (sqrt({_fold_dot('vec', 'vec')}) * sqrt({_fold_dot('svec', 'svec')})), 6) AS s
@@ -706,6 +724,10 @@ r AS (SELECT *, row_number() OVER (PARTITION BY query_id
         ORDER BY cosine_sim DESC, neighbor_id ASC) AS rank FROM p)
 SELECT query_id, rank, neighbor_id, cosine_sim FROM r WHERE rank <= 5
 """
+
+
+EMB_IVF_SQL = _ivf_sql(16)
+EMB_IVF_BIG_SQL = _ivf_sql(128)
 
 
 # plane component formula mirrors similarity.hyperplane_lsh_buckets (seed 42);
@@ -777,6 +799,89 @@ FROM documents
 """
 
 
+def multimodal_media_meta_mixed(spark, sf_dir):
+    """Mixed-container media metadata: doc_id % 4 picks PNG / JPEG / WAV /
+    MP4; each payload is a REAL container header assembled JVM-side from
+    doc-derived fields (PNG sig+IHDR, JPEG SOI+SOF0, RIFF/WAVE fmt+data,
+    ISO-BMFF ftyp+moov/mvhd/trak/tkhd at real byte offsets) and parsed back
+    by the pure-Python header parsers over Arrow mapInPandas — every output
+    field is recomputable from doc_id, so the DuckDB twin is exact."""
+    from .operators.multimodal import extract_media_meta
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+
+    def be(c, n):  # big-endian fixed-width hex of a nonneg integral column
+        return F.lpad(F.hex(c.cast("bigint")), n, "0")
+
+    def le16(c):  # little-endian uint16 hex
+        c = c.cast("bigint")
+        return F.concat(be(c % 256, 2), be(F.shiftright(c, 8) % 256, 2))
+
+    png_w, png_h = d % 640 + 16, (d * 7) % 480 + 16
+    sr, ch = 8000 + (d % 8) * 1000, d % 2 + 1
+    ba, dsz = ch * 2, (d % 100 + 1) * (ch * 2)
+    m4_w, m4_h, m4_dur = d % 1280 + 16, (d * 3) % 720 + 16, d % 900 + 30
+
+    png = F.concat(F.lit("89504E470D0A1A0A" "0000000D" "49484452"),
+                   be(png_w, 8), be(png_h, 8), F.lit("0806000000"))
+    jpg = F.concat(F.lit("FFD8" "FFC0" "000B" "08"),
+                   be(png_h, 4), be(png_w, 4), F.lit("01" "011100"))
+    wav = F.concat(
+        F.lit("52494646" "24000000" "57415645"          # RIFF/WAVE
+              "666D7420" "10000000" "0100"),             # fmt chunk, PCM
+        le16(ch), le16(sr), F.lit("0000"),               # channels, rate (LE32)
+        le16(sr * ba), F.lit("0000"), le16(ba), F.lit("1000"),
+        F.lit("64617461"), le16(dsz), F.lit("0000"),     # data chunk header
+    )
+    mp4 = F.concat(
+        F.lit("00000010" "66747970" "69736F6D" "00000200"    # ftyp isom
+              "000000D8" "6D6F6F76"                          # moov (216 B)
+              "0000006C" "6D766864" "00000000"               # mvhd v0 (108 B)
+              "00000000" "00000000" "0000001E"),             # ctime/mtime/timescale=30
+        be(m4_dur, 8), F.lit("00" * 80),                     # duration + rate..next_track
+        F.lit("00000064" "7472616B"                          # trak (100 B)
+              "0000005C" "746B6864" "00000007"               # tkhd v0 (92 B)
+              "00000000" "00000000" "00000001" "00000000"),  # times/track_id/res
+        be(m4_dur, 8), F.lit("00" * (16 + 36)),              # dur, res+layer.., matrix
+        be(m4_w, 4), F.lit("0000"), be(m4_h, 4), F.lit("0000"),  # 16.16 fixed
+    )
+    hexstr = (
+        F.when(d % 4 == 0, png).when(d % 4 == 1, jpg)
+        .when(d % 4 == 2, wav).otherwise(mp4)
+    )
+    media = docs.select("doc_id", F.unhex(hexstr).alias("payload"))
+    return extract_media_meta(media)
+
+
+MULTIMODAL_MIXED_SQL = """
+SELECT doc_id,
+  CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN 'image/png' WHEN 1 THEN 'image/jpeg'
+       WHEN 2 THEN 'audio/wav' ELSE 'video/mp4' END AS media_type,
+  CAST(CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN 29 WHEN 1 THEN 15
+       WHEN 2 THEN 44 ELSE 232 END AS BIGINT) AS byte_len,
+  CASE CAST(doc_id % 4 AS INT)
+       WHEN 0 THEN '89504e470d0a1a0a'
+       WHEN 1 THEN 'ffd8ffc0000b08' ||
+            lower(lpad(hex(((doc_id * 7) % 480 + 16) // 256), 2, '0'))
+       WHEN 2 THEN '5249464624000000'
+       ELSE '0000001066747970' END AS header_hex,
+  CAST(CASE CAST(doc_id % 4 AS INT)
+       WHEN 0 THEN doc_id % 640 + 16 WHEN 1 THEN doc_id % 640 + 16
+       WHEN 2 THEN 8000 + (doc_id % 8) * 1000
+       ELSE doc_id % 1280 + 16 END AS INT) AS width,
+  CAST(CASE CAST(doc_id % 4 AS INT)
+       WHEN 0 THEN (doc_id * 7) % 480 + 16 WHEN 1 THEN (doc_id * 7) % 480 + 16
+       WHEN 2 THEN doc_id % 2 + 1
+       ELSE (doc_id * 3) % 720 + 16 END AS INT) AS height,
+  CAST(CASE CAST(doc_id % 4 AS INT)
+       WHEN 0 THEN 1 WHEN 1 THEN 1
+       WHEN 2 THEN doc_id % 100 + 1
+       ELSE doc_id % 900 + 30 END AS INT) AS n_frames
+FROM documents
+"""
+
+
 # ==================================================================== catalog
 QUERIES: dict[str, Query] = {
     "cdc_lww_latest": cdc_lww_latest,
@@ -804,8 +909,10 @@ QUERIES: dict[str, Query] = {
     "doc_minhash_lsh_pairs": doc_minhash_lsh_pairs,
     "emb_cosine_topk": emb_cosine_topk,
     "emb_ivf_topk": emb_ivf_topk,
+    "emb_ivf_topk_big": emb_ivf_topk_big,
     "emb_lsh_near_pairs": emb_lsh_near_pairs,
     "multimodal_media_meta": multimodal_media_meta,
+    "multimodal_media_meta_mixed": multimodal_media_meta_mixed,
 }
 
 ORACLES: dict[str, str] = {
@@ -833,7 +940,9 @@ ORACLES: dict[str, str] = {
     "doc_minhash_lsh_pairs": DOC_MINHASH_LSH_SQL,
     "emb_cosine_topk": EMB_COSINE_TOPK_SQL,
     "emb_ivf_topk": EMB_IVF_SQL,
+    "emb_ivf_topk_big": EMB_IVF_BIG_SQL,
     "emb_lsh_near_pairs": EMB_LSH_SQL,
     "cdc_replay_snapshot": CDC_REPLAY_SQL,
     "multimodal_media_meta": MULTIMODAL_SQL,
+    "multimodal_media_meta_mixed": MULTIMODAL_MIXED_SQL,
 }

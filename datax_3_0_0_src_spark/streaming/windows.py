@@ -48,6 +48,76 @@ def minutely_counts_stream(
     )
 
 
+MINUTELY_OUT_DDL = "minute timestamp, event_type string, n long, total_value double"
+MINUTELY_STATE_DDL = "n long, total double"
+
+
+def _strict_minutely_fn(key, pdf_iter, state):
+    """Per-(minute, event_type) windowed aggregator with a STRICT late-data
+    policy: rows whose window end <= the current watermark are dropped, rows
+    inside it merge into the window state. Spark's built-in windowed
+    aggregation only guarantees the POSITIVE side (within-watermark data is
+    never lost); beyond-watermark rows may still be aggregated and emitted
+    (observed on 4.1: a late row recreates evicted state and append mode
+    emits the stale window). A CDC pipeline needs the drop to be
+    deterministic, so this operator enforces it itself — the current
+    watermark is visible to user code only through GroupState, which is why
+    this is an applyInPandasWithState operator and not a groupBy().agg()."""
+    minute, event_type = key
+    wm_ms = state.getCurrentWatermarkMs()
+    # key datetimes are naive UTC (session TZ is pinned UTC in session.py)
+    window_end_ms = int(pd.Timestamp(minute).tz_localize("UTC").timestamp() * 1000) + 60_000
+    if state.hasTimedOut or (wm_ms and window_end_ms <= wm_ms):
+        # window already finalized: drop late input, expire the state
+        for _ in pdf_iter:
+            pass
+        if state.exists:
+            state.remove()
+        return
+    n, total = state.get if state.exists else (0, 0.0)
+    for pdf in pdf_iter:
+        n += len(pdf)
+        total += float(pdf["value"].fillna(0.0).sum())
+    state.update((n, total))
+    # expire the state once the watermark passes the window end
+    state.setTimeoutTimestamp(int(window_end_ms))
+    yield pd.DataFrame(
+        [(minute, event_type, n, round(total, 4))],
+        columns=["minute", "event_type", "n", "total_value"],
+    )
+
+
+def minutely_counts_strict_stream(
+    spark: SparkSession,
+    events_dir: str,
+    *,
+    schema_ddl: str = EVENTS_DDL,
+    watermark: str = "10 minutes",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Tumbling 1-minute counts with a DETERMINISTIC late-data policy (see
+    ``_strict_minutely_fn``): within-watermark late rows merge, beyond-
+    watermark rows are dropped — both guaranteed, both oracle-tested."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    reader = spark.readStream.schema(schema_ddl)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    ev = reader.parquet(events_dir)
+    return (
+        ev.withWatermark("ts", watermark)
+        .withColumn("minute", F.date_trunc("minute", F.col("ts")))
+        .groupBy("minute", "event_type")
+        .applyInPandasWithState(
+            _strict_minutely_fn,
+            outputStructType=MINUTELY_OUT_DDL,
+            stateStructType=MINUTELY_STATE_DDL,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
 SESSION_OUT_DDL = "user_id long, session_id long, n_events long, session_value double"
 SESSION_STATE_DDL = "last_ts long, session_id long, n long, val double"
 GAP_S = 1800

@@ -90,3 +90,43 @@ def test_frame_sample_plan_fanout(spark):
     # the wav row (480 frames) fans out to ceil(480/100) sample rows
     wav_rows = [r for r in rows if r["doc_id"] == 3]
     assert len(wav_rows) == 5
+
+
+def _mp4_bytes(w=640, h=360, dur=120, timescale=30) -> bytes:
+    """Minimal-but-real ISO BMFF: ftyp + moov(mvhd v0 + trak(tkhd v0)), all
+    fields at the real byte offsets parse_mp4 walks."""
+    def box(typ: bytes, content: bytes) -> bytes:
+        return (8 + len(content)).to_bytes(4, "big") + typ + content
+
+    mvhd = box(b"mvhd", bytes(12) + timescale.to_bytes(4, "big")
+               + dur.to_bytes(4, "big") + bytes(80))
+    tkhd = box(b"tkhd", bytes(4) + bytes(8) + (1).to_bytes(4, "big") + bytes(4)
+               + dur.to_bytes(4, "big") + bytes(16) + bytes(36)
+               + (w << 16).to_bytes(4, "big") + (h << 16).to_bytes(4, "big"))
+    moov = box(b"moov", mvhd + box(b"trak", tkhd))
+    return box(b"ftyp", b"isom" + bytes(4)) + moov
+
+
+def test_parse_mp4_real_box_walk():
+    from datax_3_0_0_src_spark.operators.multimodal import parse_mp4
+
+    assert parse_mp4(_mp4_bytes(w=1280, h=720, dur=900)) == (1280, 720, 900)
+    # v1 mvhd (64-bit duration) + audio-only (no tkhd size)
+    def box(t, c):
+        return (8 + len(c)).to_bytes(4, "big") + t + c
+    mvhd1 = box(b"mvhd", b"\x01" + bytes(3) + bytes(16)
+                + (1000).to_bytes(4, "big") + (77).to_bytes(8, "big") + bytes(80))
+    b = box(b"ftyp", b"isom" + bytes(4)) + box(b"moov", mvhd1)
+    assert parse_mp4(b) == (None, None, 77)
+    assert parse_mp4(b"\x00\x00\x00\x08ftyp") is None  # truncated
+    assert parse_mp4(b"RIFFxxxxWAVE") is None           # not mp4
+
+
+def test_mp4_meta_through_engine(spark):
+    df = spark.createDataFrame(
+        [(100, bytearray(_mp4_bytes(w=320, h=240, dur=450)))],
+        "doc_id long, payload binary",
+    )
+    (row,) = extract_media_meta(df).collect()
+    assert row["media_type"] == "video/mp4"
+    assert (row["width"], row["height"], row["n_frames"]) == (320, 240, 450)

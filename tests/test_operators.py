@@ -223,3 +223,23 @@ def test_simhash_scale_defaults_collision_bounded(spark):
                 brute.add((a, b, h))
     assert {(r["id_a"], r["id_b"], r["hamming"]) for r in pairs} == brute
     assert brute  # non-trivial: the fixture's dup groups collide
+
+
+def test_ivf_broadcast_mode_matches_literal_and_plan_is_small(spark):
+    """Above the threshold, centroid assignment must be a broadcast-join
+    argmax whose plan carries NO embedded centroid arrays (plan-size safety
+    at 2^10+ cells) — and it must pick the exact same cells as the
+    literal-embedding mode."""
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    from datax_3_0_0_src_spark.operators.similarity import ivf_assign
+
+    lit_mode = ivf_assign(emb, n_cells=32, broadcast_threshold=64)
+    bj_mode = ivf_assign(emb, n_cells=32, broadcast_threshold=8)
+    a = {r["vec_id"]: r["cell"] for r in lit_mode.collect()}
+    b = {r["vec_id"]: r["cell"] for r in bj_mode.collect()}
+    assert a == b
+    plan_lit = plan_string(lit_mode)
+    plan_bj = plan_string(bj_mode)
+    assert "Broadcast" in plan_bj
+    # the literal plan embeds 32 x 64 floats; the broadcast plan must not
+    assert len(plan_bj) < len(plan_lit) / 4

@@ -85,3 +85,87 @@ def test_stream_sessionize_multi_batch_state_carries(spark, tmp_path):
     )
     exp = events_sessionize(spark, SF).toPandas()
     pd.testing.assert_frame_equal(_norm(got), _norm(exp), check_dtype=False)
+
+
+def test_stream_watermark_late_data_vs_duckdb_oracle(spark, tmp_path):
+    """Late-data policy against a DuckDB twin. Spark's built-in windowed agg
+    only guarantees the positive side of the watermark contract (verified
+    separately below); the engine's strict operator
+    (minutely_counts_strict_stream, applyInPandasWithState reading the
+    current watermark) guarantees BOTH: a late event whose window is still
+    open MERGES, one beyond the watermark is DROPPED."""
+    import glob
+    import shutil
+    import time as _time
+
+    import duckdb
+
+    from datax_3_0_0_src_spark.streaming.windows import minutely_counts_strict_stream
+
+    d = tmp_path / "late_stream"
+    d.mkdir()
+    ddl = ("event_id long, user_id long, ts string, event_type string, "
+           "value double, props string")
+    # batch 0 max ts 10:12:34 => watermark while processing batch 1 = 10:02:34
+    batches = [
+        [(1, 1, "2024-01-01 10:00:05", "click", 1.0, "{}"),
+         (2, 1, "2024-01-01 10:00:40", "click", 2.0, "{}"),
+         (3, 1, "2024-01-01 10:12:34", "click", 3.0, "{}")],
+        # late-but-within: ts < watermark but window [10:02,10:03) end is past
+        # it; beyond: window [09:45,09:46) end precedes the watermark => drop
+        [(4, 1, "2024-01-01 10:02:10", "click", 4.0, "{}"),
+         (5, 1, "2024-01-01 09:45:00", "click", 5.0, "{}")],
+    ]
+    for i, rows in enumerate(batches):
+        stage = tmp_path / f"stage{i}"
+        (spark.createDataFrame(rows, ddl)
+         .selectExpr("event_id", "user_id", "CAST(ts AS TIMESTAMP) AS ts",
+                     "event_type", "value", "props")
+         .coalesce(1).write.parquet(str(stage)))
+        (part,) = glob.glob(str(stage / "part-*.parquet"))
+        shutil.copy(part, d / f"b{i}.parquet")
+        _time.sleep(1.1)  # mod-time order defines micro-batch order
+
+    got = _run_stream(
+        minutely_counts_strict_stream(spark, str(d), max_files_per_trigger=1),
+        spark, "wm_strict", tmp_path, "update",
+    )
+    # update mode re-emits a window when late data merges: keep final emission
+    got = (got.sort_values(["minute", "event_type", "n"])
+           .groupby(["minute", "event_type"], as_index=False).last())
+    got["minute"] = got["minute"].astype("datetime64[us]")
+
+    # DuckDB twin of the strict policy: a batch-1 row is accepted iff its
+    # window end is past the watermark in force for batch 1 (max batch-0 ts
+    # minus the 10-minute delay)
+    exp = duckdb.sql(f"""
+        WITH b0 AS (SELECT * FROM read_parquet('{d}/b0.parquet')),
+        b1 AS (SELECT * FROM read_parquet('{d}/b1.parquet')),
+        wm1 AS (SELECT max(ts) - INTERVAL 10 MINUTE AS w FROM b0),
+        acc AS (
+          SELECT * FROM b0
+          UNION ALL SELECT * FROM b1
+            WHERE date_trunc('minute', ts) + INTERVAL 1 MINUTE > (SELECT w FROM wm1))
+        SELECT date_trunc('minute', ts) AS minute, event_type,
+               count(*) AS n, round(sum(value), 4) AS total_value
+        FROM acc GROUP BY 1, 2 ORDER BY 1, 2
+    """).df()
+    exp["minute"] = exp["minute"].astype("datetime64[us]")
+    pd.testing.assert_frame_equal(_norm(got), _norm(exp), check_dtype=False)
+    mins = set(got["minute"].dt.strftime("%H:%M"))
+    assert "09:45" not in mins               # beyond watermark: dropped
+    assert "10:02" in mins                   # late-but-within: merged
+    row = got[got["minute"].dt.strftime("%H:%M") == "10:02"].iloc[0]
+    assert (row["n"], row["total_value"]) == (1, 4.0)
+
+    # pin the BUILT-IN operator's (one-sided) contract on the same input so a
+    # Spark behavior change is caught: append mode emits the 09:45 window
+    # (late row aggregated into recreated state) — the reason the strict
+    # operator exists
+    builtin = _run_stream(
+        minutely_counts_stream(spark, str(d), max_files_per_trigger=1),
+        spark, "wm_builtin", tmp_path, "append",
+    )
+    b_mins = set(builtin["minute"].astype("datetime64[us]").dt.strftime("%H:%M"))
+    assert "10:00" in b_mins                 # closed window emitted exactly once
+    assert "09:45" in b_mins                 # one-sided guarantee: NOT dropped
