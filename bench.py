@@ -59,9 +59,19 @@ HEADLINE = [
 
 _CHILD = r"""
 import sys, time, shutil, os
+# Emulate an N-core executor CONTAINER: pin the whole process tree (JVM task
+# threads, GC, and the forked Python UDF workers all inherit the mask) to
+# exactly N cores. Without this, local[8]'s 8 JVM threads + 8 Python workers
+# spread over the machine's 32 cores — the "small cluster" level silently
+# borrows ~2x its cores and the N->4N efficiency denominator is inflated
+# (measured: the same scan+extract stage runs 7.3 s pinned vs 5.0 s unpinned
+# at 8 cores). A real cluster's executors are cgroup-limited; this is the
+# sandbox stand-in for that.
+if hasattr(os, "sched_setaffinity"):
+    os.sched_setaffinity(0, set(range({cores})))
 sys.path.insert(0, {repo!r})
 from datax_3_0_0_src_spark.session import get_spark
-from datax_3_0_0_src_spark.cdc.replayer import ReplayConfig, Replayer
+from datax_3_0_0_src_spark.cdc.replayer import THROUGHPUT_PROFILE, ReplayConfig, Replayer
 from datax_3_0_0_src_spark.cdc.extract import extract_text_udf
 from pyspark.sql import functions as F
 cores = {cores}
@@ -73,6 +83,11 @@ spark = get_spark(parallelism=cores, shuffle_partitions=cores,
      b"<html><head><title>t</title></head><body>b</body></html>")))
  .write.format("noop").mode("overwrite").save())
 base = {shm!r} + f"/datax_bench_replay_{{cores}}"
+# the engine's measured high-throughput profile IS the bench default
+# (soak-tested: the whole e2e suite passes under CDC_PROFILE=throughput);
+# BENCH_CONC / BENCH_FOLD_CONC env-override the pipelining depths
+profile = dict(THROUGHPUT_PROFILE, max_concurrent_batches={conc},
+               compact_concurrency={fold_conc})
 # steady-state measurement: the first replay in a fresh JVM pays JIT/codegen
 # warmup (measured ~2x); run it once as warmup, then measure the second run
 # on a fresh table (same input, warm engine)
@@ -80,14 +95,18 @@ for warm in (True, False):
     shutil.rmtree(base, ignore_errors=True)
     rep = Replayer(spark, ReplayConfig(log_dir={wal!r}, table_path=base + "/pages",
                                        work_dir=base + "/work", num_buckets=16,
-                                       max_concurrent_batches={conc}))
+                                       **profile))
     t0 = time.monotonic()
     res = rep.run()
     dt = time.monotonic() - t0
     # merge-on-read: also time the delta->base compaction fold so the reported
     # end-to-end number includes the deferred LWW resolution, not just the apply
     t1 = time.monotonic()
-    rep.table.compact(target_files_per_bucket=2)
+    # target file count scales with write parallelism (Iceberg compaction
+    # targets file SIZE, not a fixed count): 2/bucket at 8 cores, 4 at 32 —
+    # keeps the fold's sort partitions ~cores-sized at every level
+    rep.table.compact(target_files_per_bucket=max(2, cores // 8),
+                      concurrency=profile["compact_concurrency"])
     dt_fold = time.monotonic() - t1
 n = sum(r.events_read for r in res)
 shutil.rmtree(base, ignore_errors=True)
@@ -99,7 +118,8 @@ spark.stop()
 def replay_subprocess(cores: int) -> tuple[float, float, int, float]:
     env = dict(os.environ, SPARK_DRIVER_MEM=os.environ.get("SPARK_DRIVER_MEM", "48g"))
     code = _CHILD.format(repo=REPO, cores=cores, shm=SHM, wal=WAL_CACHE,
-                         conc=int(os.environ.get("BENCH_CONC", "1")))
+                         conc=int(os.environ.get("BENCH_CONC", "2")),
+                         fold_conc=int(os.environ.get("BENCH_FOLD_CONC", "4")))
     load = os.getloadavg()[0]  # external-tenant contamination indicator
     out = subprocess.run(
         [sys.executable, "-c", code], capture_output=True, text=True,

@@ -45,6 +45,21 @@ from .quarantine import check_error_limits
 
 PAGES_DDL = "url string, warc_ts timestamp, html binary, text string, lang string"
 
+# The measured high-throughput profile (BENCH.md): pipelined MOR micro-batches
+# with optimistic-CAS commits, Dataset.observe-folded lineage (one fewer Spark
+# job per batch), and deferred LWW dedup (the per-batch wide-row shuffle +
+# aggregation drops out; the SAME (ts, offset) winner rule applies at
+# read/compact). Soak-tested: the whole e2e suite runs under this profile via
+# ``CDC_PROFILE=throughput`` (see tests/test_replayer_e2e.py) and it is the
+# bench default. Use as ``ReplayConfig(..., **THROUGHPUT_PROFILE)``.
+THROUGHPUT_PROFILE: dict = {
+    "merge_mode": "mor",
+    "dedup_per_batch": False,
+    "lineage_level": "global",
+    "max_concurrent_batches": 2,
+    "compact_concurrency": 4,
+}
+
 
 @dataclass
 class ReplayConfig:
@@ -80,6 +95,7 @@ class ReplayConfig:
     max_concurrent_batches: int = 1
     compact_every: int | None = None   # fold MOR deltas every N batches
     compact_target_files: int = 2      # files/bucket after a fold
+    compact_concurrency: int = 1       # parallel bucket-group folds (lake.compact)
     batch_timeout_s: float | None = None   # F13: cancel a wedged batch (watchdog)
     report_interval_s: float | None = None  # F11: periodic counter reporting
     report_sink: object = None              # callable(str); default print
@@ -393,7 +409,8 @@ class Replayer:
                         and len(results) % self.cfg.compact_every == 0
                     ):
                         self.table.compact(
-                            target_files_per_bucket=self.cfg.compact_target_files
+                            target_files_per_bucket=self.cfg.compact_target_files,
+                            concurrency=self.cfg.compact_concurrency,
                         )
             else:
                 # pipelined batches: MOR deltas are commit-order-free, so a
@@ -421,7 +438,8 @@ class Replayer:
                 results.sort(key=lambda r: r.batch_id)
                 if self.cfg.compact_every and results:
                     self.table.compact(
-                        target_files_per_bucket=self.cfg.compact_target_files
+                        target_files_per_bucket=self.cfg.compact_target_files,
+                        concurrency=self.cfg.compact_concurrency,
                     )
         finally:
             if reporter:
@@ -523,6 +541,11 @@ class Replayer:
             # dirty-record audit trail at the reused id. Overwrite stays
             # correct: re-running the SAME slice is idempotent. --------------
             qpath = os.path.join(cfg.quarantine_dir, f"slice={epoch}-{sub}")
+            # repartition on the bucket BEFORE the partitioned write: without
+            # it every scan task spills a file into every bucket dir it saw
+            # (tasks x buckets tiny files — measured 2x slower at local[32]
+            # than local[8]); dirty rows are rare, so this shuffle is tiny
+            # while the observe node above still rides the full scan
             (dirty.select(
                 F.col(cfg.seq_col).alias("log_offset"),
                 F.lit(epoch).alias("epoch"),
@@ -530,7 +553,8 @@ class Replayer:
                 "reason",
                 F.col("html").alias("raw_payload"),
                 F.col(SYS_BUCKET),
-            ).write.mode("overwrite").partitionBy(SYS_BUCKET).parquet(qpath))
+            ).repartition(self.table.num_buckets + 1, F.col(SYS_BUCKET))
+             .write.mode("overwrite").partitionBy(SYS_BUCKET).parquet(qpath))
             lap("quarantine_write")
 
             if cfg.lineage_level == "global":

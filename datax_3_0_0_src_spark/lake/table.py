@@ -526,17 +526,27 @@ class LakeTable:
 
     # --------------------------------------------------------- maintenance
     def compact(self, *, target_files_per_bucket: int = 1,
-                buckets: list[int] | None = None) -> MergeStats:
+                buckets: list[int] | None = None,
+                concurrency: int = 1) -> MergeStats:
         """Fold merge-on-read deltas into the base and rewrite fragmented
         buckets into ~target_files_per_bucket files each (Iceberg
         rewrite_data_files + minor compaction in one pass). Metadata-only for
         buckets already folded and at/below the target; commits one new
-        snapshot. Tombstones are preserved through the fold (they guard
-        against late-event resurrection)."""
+        snapshot per bucket group. Tombstones are preserved through the fold
+        (they guard against late-event resurrection).
+
+        ``concurrency`` > 1 splits the buckets into that many disjoint groups
+        folded by CONCURRENT Spark jobs (driver thread pool), each committing
+        via the optimistic-CAS manifest loop. Rationale (BENCH.md round-2):
+        one monolithic fold stage puts every core into the wide-row sort at
+        once and GC-thrashes at high core counts; smaller per-group stages
+        pipeline shuffle/sort/write phases against each other instead. The
+        fold stays safe under concurrent MOR *merges*: a commit re-layers
+        against the freshest snapshot and preserves any delta that arrived
+        after the fold's read (the folded rows keep their (ts, offset), so
+        read-time LWW against later deltas is unchanged). Concurrent folds of
+        the SAME bucket are detected and rejected."""
         snap = self.snapshot()
-        user_schema = StructType.fromJson(__import__("json").loads(snap.schema_json))
-        phys = self._physical_schema(user_schema)
-        key, ts_col = snap.properties["key"], snap.properties["ts_col"]
         candidates = set(int(b) for b in snap.files) | set(int(b) for b in snap.deltas)
         todo = sorted(
             b for b in candidates
@@ -545,7 +555,37 @@ class LakeTable:
         )
         if not todo:
             return MergeStats(snap.version, 0, 0, 0, 0, {})
-        has_deltas = any(snap.bucket_deltas(b) for b in todo)
+        n_groups = max(1, min(int(concurrency), len(todo)))
+        if n_groups == 1:
+            return self._compact_group(snap, todo, target_files_per_bucket)
+        groups = [todo[i::n_groups] for i in range(n_groups)]
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=n_groups) as pool:
+            stats = list(pool.map(
+                lambda g: self._compact_group(snap, g, target_files_per_bucket),
+                groups,
+            ))
+        return MergeStats(
+            version=max(s.version for s in stats),
+            touched_buckets=sum(s.touched_buckets for s in stats),
+            batch_rows=0, batch_deletes=0,
+            new_files=sum(s.new_files for s in stats),
+            rows_per_bucket={},
+        )
+
+    def _compact_group(
+        self, snap: Snapshot, todo: list[int], target_files_per_bucket: int
+    ) -> MergeStats:
+        """Fold one disjoint bucket group read at snapshot ``snap``; commit
+        with the optimistic-CAS loop, preserving deltas layered after the
+        read."""
+        user_schema = StructType.fromJson(__import__("json").loads(snap.schema_json))
+        phys = self._physical_schema(user_schema)
+        key, ts_col = snap.properties["key"], snap.properties["ts_col"]
+        folded_files = {b: set(snap.bucket_files(b)) for b in todo}
+        folded_deltas = {b: set(snap.bucket_deltas(b)) for b in todo}
+        has_deltas = any(folded_deltas[b] for b in todo)
         df = self._read_files(
             [f for b in todo for f in snap.bucket_files(b) + snap.bucket_deltas(b)], phys
         )
@@ -579,25 +619,48 @@ class LakeTable:
                 .drop("_first")
             )
         df = df.drop("_salt")
-        version = snap.version + 1
-        rel_dir = f"data/v{version:08d}-{uuid.uuid4().hex[:8]}"  # see merge()
+        rel_dir = f"data/c{snap.version + 1:08d}-{uuid.uuid4().hex[:8]}"  # unique, never contended
         out_dir = os.path.join(self.path, rel_dir)
         df.write.mode("errorifexists").partitionBy(SYS_BUCKET).parquet(out_dir)
-        new_files = {b: list(fs) for b, fs in snap.files.items() if int(b) not in todo}
-        n_new = 0
-        for b, fs in self._written_buckets(out_dir, rel_dir).items():
-            new_files[str(b)] = fs
-            n_new += len(fs)
-        new_deltas = {b: list(fs) for b, fs in snap.deltas.items() if int(b) not in todo}
-        new_snap = Snapshot(
-            version=version, parent=snap.version, schema_json=snap.schema_json,
-            num_buckets=snap.num_buckets, files=new_files,
-            properties=dict(snap.properties),
-            summary={"compacted_buckets": len(todo), "new_files": n_new},
-            deltas=new_deltas,
-        )
-        write_snapshot(self.path, new_snap)
-        return MergeStats(version, len(todo), 0, 0, n_new, {})
+        written = self._written_buckets(out_dir, rel_dir)
+        n_new = sum(len(fs) for fs in written.values())
+
+        for _attempt in range(64):
+            base = self.snapshot()  # freshest — merges/folds may have landed
+            new_files = {b: list(fs) for b, fs in base.files.items()}
+            new_deltas = {b: list(fs) for b, fs in base.deltas.items()}
+            for b in todo:
+                if set(base.bucket_files(b)) != folded_files[b]:
+                    raise RuntimeError(
+                        f"concurrent compaction of bucket {b}: base files changed "
+                        f"under the fold (folds must target disjoint buckets)"
+                    )
+                new_files[str(b)] = written.get(b, [])
+                if not new_files[str(b)]:
+                    new_files.pop(str(b), None)  # bucket folded away (all tombstoned? no rows)
+                # deltas layered AFTER the fold read survive; read-time LWW
+                # against the folded rows (which keep ts/_lww_offset) is exact
+                survivors = [f for f in base.bucket_deltas(b) if f not in folded_deltas[b]]
+                if survivors:
+                    new_deltas[str(b)] = survivors
+                else:
+                    new_deltas.pop(str(b), None)
+            new_snap = Snapshot(
+                version=base.version + 1, parent=base.version,
+                schema_json=base.schema_json,
+                num_buckets=base.num_buckets, files=new_files,
+                properties=dict(base.properties),
+                summary={"compacted_buckets": len(todo), "new_files": n_new},
+                deltas=new_deltas,
+            )
+            try:
+                write_snapshot(self.path, new_snap)
+                break
+            except FileExistsError:
+                continue  # optimistic-concurrency loser: re-layer and retry
+        else:
+            raise RuntimeError("compact commit lost the optimistic race 64 times")
+        return MergeStats(new_snap.version, len(todo), 0, 0, n_new, {})
 
     def expire_snapshots(self, keep_last: int = 2) -> int:
         """Delete data files referenced only by expired snapshots (GC).

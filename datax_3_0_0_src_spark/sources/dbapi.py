@@ -65,12 +65,24 @@ def read_dbapi(spark: SparkSession, p: dict) -> DataFrame:
     column? (list, default *), splitPk?, channel? (range count, default 4),
     lowerBound?/upperBound? (skip the MIN/MAX probe), where?,
     schema? (Spark DDL; default: inferred from a driver-side LIMIT-0 probe's
-    cursor.description + a small sample), fetchSize? (rows per Arrow batch).
+    cursor.description + a small sample), fetchSize? (rows per Arrow batch),
+    querySql? (str or list — free-form SQL mode, one task per statement,
+    table/column/where/splitPk ignored: ReaderSplitUtil.doSplit's querySql
+    branch, plugin-rdbms-util/.../reader/util/ReaderSplitUtil.java:20-60).
 
     Without splitPk the whole table is one task (the reference's no-splitPk
     single-slice behavior, CommonRdbmsReader.java:68-88).
     """
     connect = p["connect"]
+    if p.get("querySql"):
+        qs = p["querySql"]
+        return _run_sqls(
+            spark, connect,
+            [qs] if isinstance(qs, str) else list(qs),
+            schema_ddl=p.get("schema"),
+            probe_sql=f"SELECT * FROM ({qs if isinstance(qs, str) else qs[0]}) q WHERE 1=0",
+            fetch=int(p.get("fetchSize", 10_000)),
+        )
     table = p["table"]
     columns = list(p["column"]) if p.get("column") not in (None, "*", ["*"]) else []
     split_pk = p.get("splitPk")
@@ -125,8 +137,43 @@ def read_dbapi(spark: SparkSession, p: dict) -> DataFrame:
         [f"SELECT {', '.join(columns) if columns else '*'} FROM {table}"
          + (f" WHERE {where}" if where else "")]
     )
+    return _run_sqls(spark, connect, sqls, schema_ddl=schema_ddl,
+                     colnames=colnames, fetch=fetch)
 
-    def run_range(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+
+def _run_sqls(
+    spark: SparkSession,
+    connect,
+    sqls: list[str],
+    *,
+    schema_ddl: str | None,
+    probe_sql: str | None = None,
+    colnames: list[str] | None = None,
+    fetch: int = 10_000,
+) -> DataFrame:
+    """One executor task per SQL statement, each streaming its result through
+    ``fetchmany`` into Arrow batches. Driver does metadata-only probes."""
+    if colnames is None or not schema_ddl:
+        conn = connect()
+        try:
+            cur = conn.cursor()
+            if colnames is None:
+                cur.execute(probe_sql)
+                colnames = [d[0] for d in cur.description]
+            if not schema_ddl:
+                # infer from a bounded sample; explicit ``schema`` skips this
+                cur.execute(sqls[0])
+                sample = cur.fetchmany(100)
+                probe = spark.createDataFrame(
+                    [tuple(r) for r in sample] or [tuple(None for _ in colnames)],
+                    colnames,
+                )
+                schema_ddl = probe.schema.simpleString()[7:-1]  # strip struct<...>
+        finally:
+            conn.close()
+    names = list(colnames)
+
+    def run_sql(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             for sql in pdf["sql"]:
                 conn = connect()
@@ -138,12 +185,18 @@ def read_dbapi(spark: SparkSession, p: dict) -> DataFrame:
                         if not rows:
                             break
                         yield pd.DataFrame.from_records(
-                            [tuple(r) for r in rows], columns=colnames
+                            [tuple(r) for r in rows], columns=names
                         )
                 finally:
                     conn.close()
 
-    tasks = spark.createDataFrame(
-        [(s,) for s in sqls], "sql string"
-    ).repartition(len(sqls))
-    return tasks.mapInPandas(run_range, schema_ddl)
+    # exactly one SQL per task: spark.range(n, numPartitions=n) puts one id
+    # in each partition deterministically (a hash repartition of the SQL rows
+    # can collide two ranges into one task and leave another idle)
+    import pyspark.sql.functions as F
+
+    arr = F.array(*[F.lit(s) for s in sqls])
+    tasks = spark.range(0, len(sqls), 1, len(sqls)).select(
+        F.element_at(arr, F.col("id").cast("int") + 1).alias("sql")
+    )
+    return tasks.mapInPandas(run_sql, schema_ddl)

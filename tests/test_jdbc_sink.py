@@ -177,3 +177,25 @@ def test_dbapi_read_write_round_trip(spark, sqlite_db):
         "schema": "k bigint, v string",
     }})
     assert {r["k"]: r["v"] for r in back.collect()} == got
+
+
+def test_dbapi_reader_querysql_mode(spark, sqlite_db):
+    """Free-form querySql mode: one task per statement (ReaderSplitUtil's
+    querySql branch), schema inferred from a driver-side probe."""
+    from datax_3_0_0_src_spark.sources import read_source
+
+    con = sqlite3.connect(DB_PATH)
+    con.execute("CREATE TABLE q_src (k INTEGER PRIMARY KEY, v TEXT)")
+    con.executemany("INSERT INTO q_src VALUES (?, ?)",
+                    [(i, f"q{i}") for i in range(40)])
+    con.commit()
+    con.close()
+
+    df = read_source(spark, {"name": "rdbms", "parameter": {
+        "connect": _connect,
+        "querySql": ["SELECT k, v FROM q_src WHERE k < 20",
+                     "SELECT k, v FROM q_src WHERE k >= 20"],
+    }})
+    assert df.rdd.getNumPartitions() == 2  # one task per statement
+    got = {r["k"]: r["v"] for r in df.collect()}
+    assert got == {i: f"q{i}" for i in range(40)}

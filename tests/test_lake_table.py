@@ -293,3 +293,69 @@ def test_mor_concurrent_committers_optimistic_cas(spark, tmp_table_dir):
     got = state(t)
     assert len(got) == 40  # both batches present — no lost update
     assert got["a5"][1] == "A5" and got["b7"][1] == "B7"
+
+
+# ----------------------------------------------- parallel compaction (round 3)
+def test_parallel_compact_matches_serial_fold(spark, tmp_table_dir):
+    """concurrency>1 splits the buckets into disjoint groups folded by
+    concurrent Spark jobs with CAS commits — final state, file counts, and
+    delta-free layout must match the serial fold exactly."""
+    t = make_table(spark, tmp_table_dir, nb=8)
+    rows = [(f"u{i}", f"2024-01-01T00:{i % 60:02d}:00", "<x>", f"T{i}", "en", i, "I")
+            for i in range(120)]
+    updates = [(f"u{i}", f"2024-01-02T00:{i % 60:02d}:00", "<x>", f"N{i}", "en",
+                1000 + i, "U") for i in range(0, 120, 3)]
+    dels = [(f"u{i}", f"2024-01-03T00:00:00", None, None, None, 2000 + i, "D")
+            for i in range(1, 120, 10)]
+    for r in (rows, updates, dels):
+        t.merge(batch(spark, r), mode="mor")
+    before = state(t)
+    stats = t.compact(target_files_per_bucket=1, concurrency=3)
+    assert stats.touched_buckets == 8
+    snap = t.snapshot()
+    assert snap.deltas == {}
+    for b in snap.files:
+        assert len(snap.bucket_files(int(b))) == 1
+    assert state(t) == before
+    # idempotent: a second parallel compact is metadata-only
+    again = t.compact(target_files_per_bucket=1, concurrency=3)
+    assert again.touched_buckets == 0
+
+
+def test_compact_cas_preserves_delta_layered_after_fold_read(spark, tmp_table_dir):
+    """A MOR merge that lands BETWEEN a fold's snapshot read and its commit
+    must survive: the CAS re-layer keeps any delta the fold didn't read, and
+    read-time LWW across (folded base + late delta) stays exact."""
+    t = make_table(spark, tmp_table_dir, nb=2)
+    t.merge(batch(spark, [("a", "2024-01-01T00:00:00", "<x>", "A1", "en", 0, "I"),
+                          ("b", "2024-01-01T00:00:01", "<x>", "B1", "en", 1, "I")]),
+            mode="mor")
+    stale = t.snapshot()
+    todo = sorted(int(b) for b in stale.deltas)
+    # a concurrent merge lands after the fold's read...
+    t.merge(batch(spark, [("a", "2024-01-02T00:00:00", "<x>", "A2", "en", 5, "U")]),
+            mode="mor")
+    # ...then the fold (started from the stale snapshot) commits
+    t._compact_group(stale, todo, 1)
+    snap = t.snapshot()
+    assert snap.all_deltas(), "late delta must survive the fold commit"
+    got = state(t)
+    assert got["a"][1] == "A2" and got["b"][1] == "B1"
+    # and a full fold afterwards converges
+    t.compact(target_files_per_bucket=1)
+    assert t.snapshot().deltas == {} and state(t) == got
+
+
+def test_compact_same_bucket_conflict_detected(spark, tmp_table_dir):
+    """Two folds of the SAME bucket cannot both commit: the second (stale)
+    one must fail the base-files check instead of silently dropping the
+    first's rewrite."""
+    t = make_table(spark, tmp_table_dir, nb=2)
+    t.merge(batch(spark, [("a", "2024-01-01T00:00:00", "<x>", "A1", "en", 0, "I"),
+                          ("b", "2024-01-01T00:00:01", "<x>", "B1", "en", 1, "I")]),
+            mode="mor")
+    stale = t.snapshot()
+    todo = sorted(int(b) for b in stale.deltas)
+    t.compact(target_files_per_bucket=1)  # first fold wins
+    with pytest.raises(RuntimeError, match="concurrent compaction"):
+        t._compact_group(stale, todo, 1)

@@ -3,6 +3,8 @@ salting, quarantine, error limits, schema evolution (FIXTURES.md §3)."""
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pandas as pd
 import pytest
@@ -10,7 +12,7 @@ import pytest
 from datax_3_0_0_src_spark.cdc.gen import EventGenConfig, write_event_log
 from datax_3_0_0_src_spark.cdc.oracle import expected_pages, validate_pd, gen_events_pdf
 from datax_3_0_0_src_spark.cdc.quarantine import ErrorLimitExceeded
-from datax_3_0_0_src_spark.cdc.replayer import ReplayConfig, Replayer
+from datax_3_0_0_src_spark.cdc.replayer import THROUGHPUT_PROFILE, ReplayConfig, Replayer
 
 CFG = EventGenConfig(seed=42, n_events=3_000, events_per_epoch=1_000)
 
@@ -48,6 +50,11 @@ def log_and_work(spark, tmp_path):
 
 
 def make_replayer(spark, log_dir, work, table, **kw) -> Replayer:
+    # CDC_PROFILE=throughput soaks the ENTIRE e2e suite under the bench's
+    # high-throughput profile (pipelined MOR, observe-lineage, deferred
+    # dedup); explicit per-test kwargs always win over the profile defaults
+    if os.environ.get("CDC_PROFILE") == "throughput":
+        kw = {**THROUGHPUT_PROFILE, **kw}
     return Replayer(spark, ReplayConfig(
         log_dir=log_dir, table_path=table, work_dir=work, num_buckets=8, **kw))
 
@@ -213,3 +220,42 @@ def test_rate_cap_with_offset_gaps_no_events_lost(spark, tmp_path):
     rep2 = make_replayer(spark, log_dir, str(tmp_path / "work"),
                          str(tmp_path / "pages"), max_events_per_batch=300)
     assert rep2.run() == []
+
+
+def test_throughput_profile_clean_resume_evolution_fold(spark, tmp_path):
+    """The bench-default THROUGHPUT_PROFILE (pipelined MOR + observe-lineage +
+    deferred dedup + parallel fold) soaked end-to-end: clean replay matches
+    the byte-identical oracle, resume stays exactly-once, mid-log schema
+    evolution null-backfills, and the parallel compaction fold preserves it
+    all."""
+    gcfg = EventGenConfig(seed=42, n_events=3_000, events_per_epoch=1_000, evo_epoch=2)
+    log_dir = str(tmp_path / "wal")
+    write_event_log(spark, gcfg, log_dir, slices=4)
+    work, table = str(tmp_path / "work"), str(tmp_path / "pages")
+
+    rep1 = Replayer(spark, ReplayConfig(
+        log_dir=log_dir, table_path=table, work_dir=work, num_buckets=8,
+        **THROUGHPUT_PROFILE))
+    first = rep1.run(stop_after_batches=1)  # "kill" mid-run
+    assert len(first) == 1
+
+    rep2 = Replayer(spark, ReplayConfig(
+        log_dir=log_dir, table_path=table, work_dir=work, num_buckets=8,
+        **THROUGHPUT_PROFILE))
+    rest = rep2.run()
+    assert sorted(r.epoch for r in rest) == [1, 2]
+    assert_state_matches(rep2, gcfg)
+
+    # parallel fold under the profile's compact_concurrency
+    rep2.table.compact(
+        target_files_per_bucket=1,
+        concurrency=THROUGHPUT_PROFILE["compact_concurrency"])
+    assert rep2.table.snapshot().deltas == {}
+    assert_state_matches(rep2, gcfg)
+
+    # exactly-once: full re-run is a no-op
+    rep3 = Replayer(spark, ReplayConfig(
+        log_dir=log_dir, table_path=table, work_dir=work, num_buckets=8,
+        **THROUGHPUT_PROFILE))
+    assert rep3.run() == []
+    assert_state_matches(rep3, gcfg)
