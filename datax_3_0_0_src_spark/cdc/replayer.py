@@ -58,6 +58,7 @@ THROUGHPUT_PROFILE: dict = {
     "lineage_level": "global",
     "max_concurrent_batches": 2,
     "compact_concurrency": 4,
+    "compact_strategy": "local",
 }
 
 
@@ -96,6 +97,7 @@ class ReplayConfig:
     compact_every: int | None = None   # fold MOR deltas every N batches
     compact_target_files: int = 2      # files/bucket after a fold
     compact_concurrency: int = 1       # parallel bucket-group folds (lake.compact)
+    compact_strategy: str = "shuffle"  # "shuffle" | "local" (zero-exchange pyarrow fold)
     batch_timeout_s: float | None = None   # F13: cancel a wedged batch (watchdog)
     report_interval_s: float | None = None  # F11: periodic counter reporting
     report_sink: object = None              # callable(str); default print
@@ -411,6 +413,7 @@ class Replayer:
                         self.table.compact(
                             target_files_per_bucket=self.cfg.compact_target_files,
                             concurrency=self.cfg.compact_concurrency,
+                            strategy=self.cfg.compact_strategy,
                         )
             else:
                 # pipelined batches: MOR deltas are commit-order-free, so a
@@ -440,6 +443,7 @@ class Replayer:
                     self.table.compact(
                         target_files_per_bucket=self.cfg.compact_target_files,
                         concurrency=self.cfg.compact_concurrency,
+                        strategy=self.cfg.compact_strategy,
                     )
         finally:
             if reporter:

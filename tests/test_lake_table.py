@@ -359,3 +359,63 @@ def test_compact_same_bucket_conflict_detected(spark, tmp_table_dir):
     t.compact(target_files_per_bucket=1)  # first fold wins
     with pytest.raises(RuntimeError, match="concurrent compaction"):
         t._compact_group(stale, todo, 1)
+
+
+def test_local_fold_matches_shuffle_fold(spark, tmp_path):
+    """strategy='local' (zero-exchange pyarrow per-bucket rewrite) must
+    produce the identical final state as the shuffle fold — LWW winners,
+    tombstones, schema evolution null-backfill — and the identical manifest
+    shape (delta-free, target files per bucket)."""
+    rows = [(f"u{i}", f"2024-01-01T00:{i % 60:02d}:00", "<x>", f"T{i}", "en", i, "I")
+            for i in range(100)]
+    updates = [(f"u{i}", f"2024-01-02T00:{i % 60:02d}:00", "<x>", f"N{i}", "en",
+                1000 + i, "U") for i in range(0, 100, 3)]
+    dels = [(f"u{i}", "2024-01-03T00:00:00", None, None, None, 2000 + i, "D")
+            for i in range(1, 100, 10)]
+
+    tables = {}
+    for name, strategy in (("sh", "shuffle"), ("lo", "local")):
+        t = make_table(spark, str(tmp_path / name), nb=4)
+        for r in (rows, updates, dels):
+            t.merge(batch(spark, r), mode="mor")
+        # evolution mid-deltas: one bucket group gains a column
+        evolved = batch(spark, [("zz", "2024-01-04T00:00:00", "<x>", "Z", "en",
+                                 9000, "I")]).withColumn("fetch_status", F.lit(7))
+        t.merge(evolved, mode="mor")
+        st = t.compact(target_files_per_bucket=2, strategy=strategy)
+        assert st.touched_buckets == 4
+        assert t.snapshot().deltas == {}
+        for b in t.snapshot().files:
+            assert len(t.snapshot().bucket_files(int(b))) <= 2
+        tables[name] = t
+
+    a = tables["sh"].read(include_deleted=True, with_sys_cols=True).toPandas()
+    b = tables["lo"].read(include_deleted=True, with_sys_cols=True).toPandas()
+    a = a.sort_values("url").reset_index(drop=True)
+    b = b.sort_values("url").reset_index(drop=True)
+    import pandas as pd
+    pd.testing.assert_frame_equal(a, b[a.columns], check_dtype=False)
+    assert "fetch_status" in a.columns
+    # tombstones preserved by both
+    assert bool(a["_deleted"].fillna(False).any())
+    # and the fold is idempotent under the local strategy too
+    again = tables["lo"].compact(target_files_per_bucket=2, strategy="local")
+    assert again.touched_buckets == 0
+
+
+def test_local_fold_preserves_late_delta_and_rejects_conflict(spark, tmp_path):
+    t = make_table(spark, str(tmp_path / "t"), nb=2)
+    t.merge(batch(spark, [("a", "2024-01-01T00:00:00", "<x>", "A1", "en", 0, "I"),
+                          ("b", "2024-01-01T00:00:01", "<x>", "B1", "en", 1, "I")]),
+            mode="mor")
+    stale = t.snapshot()
+    todo = sorted(int(x) for x in stale.deltas)
+    t.merge(batch(spark, [("a", "2024-01-02T00:00:00", "<x>", "A2", "en", 5, "U")]),
+            mode="mor")
+    t._compact_local(stale, todo, 1)
+    assert t.snapshot().all_deltas()
+    got = state(t)
+    assert got["a"][1] == "A2" and got["b"][1] == "B1"
+    # conflict: a second fold from the stale snapshot must be rejected
+    with pytest.raises(RuntimeError, match="concurrent compaction"):
+        t._compact_local(stale, todo, 1)

@@ -40,13 +40,21 @@ def _norm(pdf: pd.DataFrame) -> pd.DataFrame:
     return pdf.sort_values(list(pdf.columns)).reset_index(drop=True)
 
 
+def _us(col: pd.Series) -> pd.Series:
+    """Naive datetime64[us] regardless of tz-awareness (the engine writes
+    TIMESTAMP_MICROS adjusted-to-UTC, which pandas surfaces tz-aware)."""
+    if getattr(col.dtype, "tz", None) is not None:
+        col = col.dt.tz_convert("UTC").dt.tz_localize(None)
+    return col.astype("datetime64[us]")
+
+
 def test_stream_minutely_matches_batch(spark, tmp_path):
     got = _run_stream(
         minutely_counts_stream(spark, _events_dir(tmp_path)), spark, "m_stream", tmp_path, "append"
     )
     exp = events_minutely(spark, SF).toPandas()
-    got["minute"] = got["minute"].astype("datetime64[us]")
-    exp["minute"] = exp["minute"].astype("datetime64[us]")
+    got["minute"] = _us(got["minute"])
+    exp["minute"] = _us(exp["minute"])
     got_n, exp_n = _norm(got), _norm(exp)
     # append mode only emits windows the watermark has closed: every emitted
     # row must match the batch result exactly...
@@ -133,7 +141,7 @@ def test_stream_watermark_late_data_vs_duckdb_oracle(spark, tmp_path):
     # update mode re-emits a window when late data merges: keep final emission
     got = (got.sort_values(["minute", "event_type", "n"])
            .groupby(["minute", "event_type"], as_index=False).last())
-    got["minute"] = got["minute"].astype("datetime64[us]")
+    got["minute"] = _us(got["minute"])
 
     # DuckDB twin of the strict policy: a batch-1 row is accepted iff its
     # window end is past the watermark in force for batch 1 (max batch-0 ts
@@ -150,7 +158,7 @@ def test_stream_watermark_late_data_vs_duckdb_oracle(spark, tmp_path):
                count(*) AS n, round(sum(value), 4) AS total_value
         FROM acc GROUP BY 1, 2 ORDER BY 1, 2
     """).df()
-    exp["minute"] = exp["minute"].astype("datetime64[us]")
+    exp["minute"] = _us(exp["minute"])
     pd.testing.assert_frame_equal(_norm(got), _norm(exp), check_dtype=False)
     mins = set(got["minute"].dt.strftime("%H:%M"))
     assert "09:45" not in mins               # beyond watermark: dropped
@@ -166,6 +174,6 @@ def test_stream_watermark_late_data_vs_duckdb_oracle(spark, tmp_path):
         minutely_counts_stream(spark, str(d), max_files_per_trigger=1),
         spark, "wm_builtin", tmp_path, "append",
     )
-    b_mins = set(builtin["minute"].astype("datetime64[us]").dt.strftime("%H:%M"))
+    b_mins = set(_us(builtin["minute"]).dt.strftime("%H:%M"))
     assert "10:00" in b_mins                 # closed window emitted exactly once
     assert "09:45" in b_mins                 # one-sided guarantee: NOT dropped
