@@ -98,6 +98,8 @@ base = {shm!r} + f"/datax_bench_replay_{{cores}}"
 # BENCH_CONC / BENCH_FOLD_CONC env-override the pipelining depths
 profile = dict(THROUGHPUT_PROFILE, max_concurrent_batches={conc},
                compact_concurrency={fold_conc})
+if os.environ.get("BENCH_SINGLE_PASS", "") == "0":  # A/B the fused stage
+    profile["single_pass"] = False
 # steady-state measurement: the first replay in a fresh JVM pays JIT/codegen
 # warmup (measured ~2x); warm on a quarter-size WAL (identical plans and code
 # paths), then measure the full input on a fresh table with a warm engine
@@ -156,6 +158,19 @@ def wait_for_idle(min_idle: float = 0.6, timeout: float = 90.0) -> float:
     return frac
 
 
+def _steal_jiffies() -> int:
+    """Cumulative hypervisor steal time (/proc/stat col 8) — the signature of
+    co-tenant contention on a shared VM: our threads are runnable but the
+    physical cores are serving someone else. Loadavg can NOT see this (a
+    32-thread child shows the same loadavg whether it gets 32 real cores or
+    10), so per-child steal fraction is the one honest contamination gauge."""
+    try:
+        with open("/proc/stat") as f:
+            return int(f.readline().split()[8])
+    except (OSError, IndexError, ValueError):
+        return 0
+
+
 def replay_subprocess(cores: int) -> tuple[float, float, int, dict]:
     env = dict(os.environ, SPARK_DRIVER_MEM=os.environ.get("SPARK_DRIVER_MEM", "48g"))
     code = _CHILD.format(repo=REPO, cores=cores, shm=SHM, wal=WAL_CACHE,
@@ -163,6 +178,7 @@ def replay_subprocess(cores: int) -> tuple[float, float, int, dict]:
                          conc=int(os.environ.get("BENCH_CONC", "2")),
                          fold_conc=int(os.environ.get("BENCH_FOLD_CONC", "4")))
     idle_before = wait_for_idle()
+    steal0, t0 = _steal_jiffies(), time.monotonic()
     proc = subprocess.Popen(
         [sys.executable, "-c", code], stdout=subprocess.PIPE,
         stderr=subprocess.PIPE, text=True, env=env,
@@ -172,9 +188,17 @@ def replay_subprocess(cores: int) -> tuple[float, float, int, dict]:
         loads.append(os.getloadavg()[0])
         time.sleep(2)
     out, err = proc.communicate(timeout=60)
+    elapsed = max(time.monotonic() - t0, 1e-3)
+    ncpu = os.cpu_count() or 32
+    hz = os.sysconf("SC_CLK_TCK") if hasattr(os, "sysconf") else 100
+    steal_frac = (_steal_jiffies() - steal0) / (elapsed * hz * ncpu)
     noise = {
         "idle_frac_before": round(idle_before, 2),
         "loadavg_during_max": round(max(loads), 1) if loads else None,
+        # fraction of ALL machine cpu-time stolen by the hypervisor while the
+        # child ran; >~0.1 means the sample is contaminated regardless of how
+        # idle the box looked at launch
+        "steal_frac_during": round(steal_frac, 3),
     }
     for line in out.splitlines():
         if line.startswith("RESULT "):

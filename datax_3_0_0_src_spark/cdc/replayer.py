@@ -59,6 +59,7 @@ THROUGHPUT_PROFILE: dict = {
     "max_concurrent_batches": 2,
     "compact_concurrency": 4,
     "compact_strategy": "local",
+    "single_pass": True,
 }
 
 
@@ -107,6 +108,14 @@ class ReplayConfig:
     # fewer Spark job per batch; per-bucket applied/quarantined still exact
     # (parquet footers), read/deduped kept as batch-global rows
     lineage_level: str = "bucket"
+    # single-pass micro-batches (cdc.fused): validation, quarantine side-write,
+    # stats, and Arrow extraction all ride ONE scan of the batch — the classic
+    # pipeline's separate quarantine job (a second full scan of the html
+    # column, plus a driver job dispatch) drops out. Requires merge_mode="mor";
+    # the error-limit check moves to a pre-commit hook (abort still commits
+    # nothing). Lineage granularity matches "global" (exact per-bucket
+    # applied/quarantined counts, batch-global read/dedup/bytes).
+    single_pass: bool = False
 
     @property
     def checkpoint_dir(self) -> str:
@@ -142,6 +151,12 @@ class Replayer:
             raise ValueError(
                 "dedup_per_batch=False requires merge_mode='mor' (COW's "
                 "full-outer merge join needs at most one row per key)"
+            )
+        if cfg.single_pass and cfg.merge_mode != "mor":
+            raise ValueError(
+                "single_pass=True requires merge_mode='mor' (the COW plan "
+                "pass re-evaluates the batch; fused side-effects must run "
+                "exactly one scan)"
             )
         if cfg.max_concurrent_batches > 1 and cfg.merge_mode != "mor":
             raise ValueError(
@@ -192,12 +207,18 @@ class Replayer:
                 plan.append((bid, e, 0, None, None))
                 bid += 1
                 continue
-            df = self.spark.read.parquet(self._epoch_path(e))
-            row = df.agg(
-                F.min(seq).alias("lo"), F.max(seq).alias("hi"),
-                F.count(F.lit(1)).alias("n"),
-            ).collect()[0]
-            lo, hi, n = row["lo"], row["hi"], int(row["n"])
+            stats = self._epoch_stats_from_footers(e)
+            if stats is None:
+                # footers lack min/max stats for the offset column (foreign
+                # writer): one tiny Spark agg job as the fallback
+                df = self.spark.read.parquet(self._epoch_path(e))
+                row = df.agg(
+                    F.min(seq).alias("lo"), F.max(seq).alias("hi"),
+                    F.count(F.lit(1)).alias("n"),
+                ).collect()[0]
+                lo, hi, n = row["lo"], row["hi"], int(row["n"])
+            else:
+                lo, hi, n = stats
             if n == 0:
                 plan.append((bid, e, 0, None, None))
                 bid += 1
@@ -218,6 +239,7 @@ class Replayer:
                 # nature, and the sketch keeps each slice within ~0.1% of cap.
                 subs = -(-n // cap)
                 probs = [s_ / subs for s_ in range(1, subs)]
+                df = self.spark.read.parquet(self._epoch_path(e))
                 qs = df.stat.approxQuantile(seq, probs, 0.001) if probs else []
                 inner = sorted({int(q) for q in qs if lo < int(q) <= hi})
                 bounds = [lo] + inner + [hi + 1]
@@ -228,6 +250,49 @@ class Replayer:
 
     def _epoch_path(self, epoch: int) -> str:
         return os.path.join(self.cfg.log_dir, f"epoch={epoch}")
+
+    def _epoch_stats_from_footers(self, epoch: int) -> tuple[int, int, int] | None:
+        """(min_offset, max_offset, row_count) for an epoch from its parquet
+        FOOTERS — driver-side metadata reads, no Spark job. The offset column's
+        per-row-group min/max statistics are written by every standard parquet
+        writer (incl. this engine's WAL writer); None when any footer lacks
+        them (foreign writer) and the caller falls back to a Spark agg.
+
+        Scale note: this is O(files) driver-side metadata, same order as the
+        split planning Spark itself must do to scan the epoch; at 10^8-event
+        epochs the WAL segment count stays in the hundreds (writers roll
+        segments by size), so plan time stays sub-second where the agg-job
+        path paid a full scheduler round trip per epoch."""
+        import pyarrow.parquet as pq
+
+        p = self._epoch_path(epoch)
+        seq = self.cfg.seq_col
+        lo = hi = None
+        n = 0
+        try:
+            files = [f for f in sorted(os.listdir(p)) if f.endswith(".parquet")]
+        except OSError:
+            return None
+        if not files:
+            return None
+        for fn in files:
+            md = pq.ParquetFile(os.path.join(p, fn)).metadata
+            names = [md.schema.column(i).name for i in range(md.num_columns)]
+            try:
+                idx = names.index(seq)
+            except ValueError:
+                return None
+            n += md.num_rows
+            for rg in range(md.num_row_groups):
+                col = md.row_group(rg).column(idx)
+                st = col.statistics
+                if st is None or not st.has_min_max:
+                    return None
+                lo = st.min if lo is None else min(lo, st.min)
+                hi = st.max if hi is None else max(hi, st.max)
+        if lo is None:
+            return None
+        return int(lo), int(hi), int(n)
 
     def _tune_scan_splits(self, epoch: int) -> None:
         """Size parquet splits so the epoch scan yields ~2 tasks per core.
@@ -482,11 +547,130 @@ class Replayer:
                 return self._run_batch_inner(batch_id, epoch, sub, lo, hi)
         return self._run_batch_inner(batch_id, epoch, sub, lo, hi)
 
+    def _run_batch_fused(
+        self, batch_id: int, epoch: int, sub: int,
+        lo: int | None, hi: int | None,
+    ) -> BatchResult:
+        """Single-pass batch (cfg.single_pass): ONE scan carries validation,
+        quarantine + stats side-writes, Arrow extraction, and the delta write
+        (cdc.fused). The error-limit gate runs as the merge's pre-commit hook:
+        counts only exist after the job, but an abort still commits nothing
+        (the written delta dir is an unreferenced orphan)."""
+        import shutil
+
+        cfg = self.cfg
+        t0 = time.monotonic()
+        from .fused import apply_fused, read_slice_stats
+
+        ev = self.read_epoch(epoch).drop("epoch")
+        if lo is not None:
+            ev = ev.filter((F.col(cfg.seq_col) >= lo) & (F.col(cfg.seq_col) < hi))
+        nb = self.table.num_buckets
+        bucket = F.when(
+            F.col(cfg.key).isNull(), F.lit(-1)
+        ).otherwise(F.pmod(F.xxhash64(F.col(cfg.key)), F.lit(nb)).cast("int"))
+        ev = ev.withColumn(SYS_BUCKET, bucket)
+
+        slice_dir = os.path.join(cfg.quarantine_dir, f"slice={epoch}-{sub}")
+        # idempotent re-run: a prior partial attempt may have left task files
+        # under a different partitioning — clear before the job (driver-side;
+        # concurrent batches touch distinct slice dirs)
+        shutil.rmtree(slice_dir, ignore_errors=True)
+        enriched = apply_fused(
+            ev, epoch=epoch, slice_dir=slice_dir, key=cfg.key,
+            ts_col=cfg.ts_col, seq_col=cfg.seq_col, op_col=cfg.op_col,
+        ).drop(SYS_BUCKET)
+        if cfg.dedup_per_batch:
+            winners = dedup_lww(
+                enriched, key=cfg.key, ts_col=cfg.ts_col, seq_col=cfg.seq_col,
+                salt_partitions=cfg.salt_partitions,
+            )
+        else:
+            winners = enriched
+
+        def gate():
+            s = read_slice_stats(slice_dir)
+            check_error_limits(
+                s["n_dirty"], s["events_read"],
+                record_limit=cfg.error_record_limit,
+                percentage_limit=cfg.error_percentage_limit,
+            )
+
+        stats = self.table.merge(
+            winners,
+            seq_col=cfg.seq_col,
+            op_col=cfg.op_col,
+            mode="mor",
+            pre_commit=gate,
+            properties={
+                "last_batch_id": batch_id,
+                "last_epoch": epoch,
+                "last_sub": sub,
+                self._committed_prop_key(epoch, sub): batch_id,
+                **self._committed_prop_prunes(),
+            },
+        )
+        applied = stats.batch_rows
+        sstats = read_slice_stats(slice_dir)
+        events_read = sstats["events_read"]
+        dirty_count = sstats["n_dirty"]
+
+        dur_ms = int((time.monotonic() - t0) * 1000)
+        win_per_bucket = stats.rows_per_bucket or {}
+        dirty_per_bucket = sstats["dirty_by_bucket"]
+        rows = []
+        for b in sorted(set(win_per_bucket) | {b for b in dirty_per_bucket if b >= 0}):
+            rows.append((
+                b, batch_id, epoch, 0, int(win_per_bucket.get(b, 0)),
+                0, int(dirty_per_bucket.get(b, 0)), 0, dur_ms,
+            ))
+        rows.append((
+            -1, batch_id, epoch, events_read, 0,
+            events_read - dirty_count - applied,
+            int(dirty_per_bucket.get(-1, 0)), sstats["bytes_in"], dur_ms,
+        ))
+        self._write_metrics_slice(rows, epoch, sub)
+
+        res = BatchResult(
+            batch_id=batch_id, epoch=epoch, sub=sub,
+            events_read=events_read, events_quarantined=dirty_count,
+            events_deduped=events_read - dirty_count - applied,
+            events_applied=applied, snapshot_version=stats.version,
+            duration_s=time.monotonic() - t0,
+        )
+        self._write_checkpoint(res)
+        return res
+
+    def _write_metrics_slice(self, rows: list[tuple], epoch: int, sub: int) -> None:
+        """Lineage slice write: tiny table, driver-side pyarrow (no Spark job)."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        cols = list(zip(*rows)) if rows else [[]] * 9
+        mtable = pa.table(
+            {
+                "partition_id": pa.array(cols[0], pa.int32()),
+                "checkpoint_epoch": pa.array(cols[1], pa.int64()),
+                "log_epoch": pa.array(cols[2], pa.int32()),
+                "events_read": pa.array(cols[3], pa.int64()),
+                "events_applied": pa.array(cols[4], pa.int64()),
+                "events_deduped": pa.array(cols[5], pa.int64()),
+                "events_quarantined": pa.array(cols[6], pa.int64()),
+                "bytes_in": pa.array(cols[7], pa.int64()),
+                "merge_duration_ms": pa.array(cols[8], pa.int64()),
+            }
+        )
+        mpath = os.path.join(self.cfg.metrics_dir, f"slice={epoch}-{sub}")
+        os.makedirs(mpath, exist_ok=True)
+        pq.write_table(mtable, os.path.join(mpath, "part-0.parquet"))
+
     def _run_batch_inner(
         self, batch_id: int, epoch: int, sub: int,
         lo: int | None, hi: int | None,
     ) -> BatchResult:
         cfg = self.cfg
+        if cfg.single_pass:
+            return self._run_batch_fused(batch_id, epoch, sub, lo, hi)
         t0 = time.monotonic()
         ev = self.read_epoch(epoch)
         if lo is not None:
@@ -672,26 +856,7 @@ class Replayer:
                     int(dirty_per_bucket.get(-1, 0)), bytes_in, dur_ms,
                 ))
             # tiny table: write driver-side via pyarrow (no Spark job)
-            import pyarrow as pa
-            import pyarrow.parquet as pq
-
-            cols = list(zip(*rows)) if rows else [[]] * 9
-            mtable = pa.table(
-                {
-                    "partition_id": pa.array(cols[0], pa.int32()),
-                    "checkpoint_epoch": pa.array(cols[1], pa.int64()),
-                    "log_epoch": pa.array(cols[2], pa.int32()),
-                    "events_read": pa.array(cols[3], pa.int64()),
-                    "events_applied": pa.array(cols[4], pa.int64()),
-                    "events_deduped": pa.array(cols[5], pa.int64()),
-                    "events_quarantined": pa.array(cols[6], pa.int64()),
-                    "bytes_in": pa.array(cols[7], pa.int64()),
-                    "merge_duration_ms": pa.array(cols[8], pa.int64()),
-                }
-            )
-            mpath = os.path.join(cfg.metrics_dir, f"slice={epoch}-{sub}")
-            os.makedirs(mpath, exist_ok=True)
-            pq.write_table(mtable, os.path.join(mpath, "part-0.parquet"))
+            self._write_metrics_slice(rows, epoch, sub)
             lap("metrics_write")
 
             res = BatchResult(
@@ -733,7 +898,20 @@ class Replayer:
         return self.spark.read.parquet(os.path.join(self.cfg.metrics_dir, "slice=*"))
 
     def quarantine(self) -> DataFrame:
-        # basePath: slice=/bucket= are two partition levels under the root
+        # basePath: slice= (and, classic layout, bucket=) partition levels
+        # under the root; fused slices keep bucket as a data column and hide
+        # their _stats sidecars behind the underscore prefix. A run with zero
+        # dirty rows has no data files at all — return a typed empty frame.
+        import glob
+
+        q = self.cfg.quarantine_dir
+        if not glob.glob(
+            os.path.join(q, "slice=*", f"{SYS_BUCKET}=*", "*.parquet")
+        ) and not glob.glob(os.path.join(q, "slice=*", "part-*.parquet")):
+            return self.spark.createDataFrame(
+                [], "log_offset long, epoch int, url string, reason string, "
+                    "raw_payload binary, bucket int"
+            )
         return (
             self.spark.read.option("basePath", self.cfg.quarantine_dir)
             .parquet(os.path.join(self.cfg.quarantine_dir, "slice=*"))

@@ -214,6 +214,7 @@ class LakeTable:
         properties: dict | None = None,
         plan_rows_per_bucket: dict[int, int] | None = None,
         mode: str | None = None,
+        pre_commit=None,
     ) -> MergeStats:
         """MERGE INTO: last-writer-wins upsert/delete by key.
 
@@ -241,6 +242,13 @@ class LakeTable:
         when given, the planning aggregation is skipped and the batch pipeline
         is evaluated exactly once. MOR never needs a plan (per-bucket counts
         come free from the written parquet footers).
+
+        ``pre_commit``: optional zero-arg callable invoked AFTER the batch's
+        data files are written but BEFORE the manifest commit. Raising from it
+        aborts the merge with NO new snapshot — the written files become
+        unreferenced orphans (reclaimed by ``expire_snapshots``). This is the
+        hook for post-scan validation gates (e.g. the CDC error-record limit,
+        whose counts only exist once the single-pass job has run).
         """
         snap = self.snapshot()
         mode = mode or snap.properties.get("merge_mode", "cow")
@@ -290,7 +298,7 @@ class LakeTable:
         # rows, which thrashes at high core counts — see cdc/replayer.py)
         s = s.withColumn(SYS_BUCKET, self._bucket_expr(key))
         if mode == "mor":
-            return self._merge_mor(snap, s, key, user_schema, properties)
+            return self._merge_mor(snap, s, key, user_schema, properties, pre_commit)
         if plan_rows_per_bucket is not None:
             per_bucket = {int(b): int(n) for b, n in plan_rows_per_bucket.items() if n}
             bad = [b for b in per_bucket if not 0 <= b < nb]
@@ -309,6 +317,8 @@ class LakeTable:
             batch_deletes = int(sum(r["d"] for r in agg))
         touched = sorted(per_bucket)
         batch_rows = int(sum(per_bucket.values()))
+        if not touched and pre_commit is not None:
+            pre_commit()
         if not touched:  # empty batch: still commit a (metadata-only) snapshot
             new_snap = Snapshot(
                 version=snap.version + 1, parent=snap.version,
@@ -372,6 +382,8 @@ class LakeTable:
                 f"merge wrote buckets {stray} outside the planned set {touched} — "
                 f"plan_rows_per_bucket disagrees with the table's bucket assignment"
             )
+        if pre_commit is not None:
+            pre_commit()  # raising here aborts with no snapshot (orphan files)
         new_files: dict[str, list[str]] = {
             b: list(fs) for b, fs in snap.files.items() if int(b) not in touched
         }
@@ -421,6 +433,7 @@ class LakeTable:
         key: str,
         user_schema: StructType,
         properties: dict | None,
+        pre_commit=None,
     ) -> MergeStats:
         """Merge-on-read apply: write the (pre-deduped) batch as per-bucket
         delta files and commit. No table reads, no join — per-batch cost is
@@ -459,6 +472,8 @@ class LakeTable:
         }
         batch_rows = int(sum(per_bucket.values()))
         n_new = sum(len(fs) for fs in written.values())
+        if pre_commit is not None:
+            pre_commit()  # raising here aborts with no snapshot (orphan files)
 
         for _attempt in range(64):
             base = self.snapshot()  # freshest — another committer may have won
@@ -688,61 +703,119 @@ class LakeTable:
         ]
 
         def fold_bucket(batches):
+            import numpy as np
             import pandas as pd
             import pyarrow as pa
             import pyarrow.parquet as pq
+
+            def cast_to(t: "pa.Table", target: "pa.Schema") -> "pa.Table":
+                """Align a file's table to the unified output schema: missing
+                columns (pre-evolution files) null-filled, timestamp repr
+                normalised (legacy INT96 surfaces as naive ns — values are UTC
+                instants; unconverted they'd write TIMESTAMP(NANOS), which
+                Spark's reader rejects)."""
+                cols = []
+                for f in target:
+                    if f.name in t.column_names:
+                        c = t.column(f.name)
+                        if c.type != f.type:
+                            c = c.cast(f.type)
+                    else:
+                        c = pa.nulls(len(t), f.type)
+                    cols.append(c)
+                return pa.Table.from_arrays(cols, schema=target)
 
             for pdf in batches:
                 for b, files_json in zip(pdf["bucket"], pdf["files"]):
                     b = int(b)
                     paths = [os.path.join(table_path, f) for f in _json.loads(files_json)]
+                    # ---- pass 1 (narrow): winner (file, row) per key from the
+                    # (key, ts, offset) columns only — the wide payload columns
+                    # (html/text) are never materialised for losing rows.
                     # use_threads=False: every fold task would otherwise spin
                     # up arrow's own cpu_count-wide pool — tasks × cores
                     # threads oversubscribe the executor; parallelism comes
                     # from the per-bucket tasks themselves
-                    t = pa.concat_tables(
-                        [pq.read_table(p, use_threads=False) for p in paths],
-                        promote_options="default",
-                    )
-                    for name, kind in ts_kinds.items():
-                        if name in t.column_names:
-                            want = pa.timestamp("us", tz="UTC" if kind == "utc" else None)
-                            i = t.column_names.index(name)
-                            if t.schema.field(i).type != want:
-                                t = t.set_column(
-                                    i, t.schema.field(i).with_type(want).remove_metadata(),
-                                    t.column(i).cast(want),
-                                )
-                    off = t.column(SYS_OFFSET).to_pandas() if SYS_OFFSET in t.column_names \
-                        else pd.Series([None] * len(t))
-                    narrow = pd.DataFrame({
-                        "k": t.column(key).to_pandas(),
-                        # NaT sorts LAST in pandas; pin null ts to the floor so
-                        # it can never beat a real timestamp (matches the
-                        # struct-max rule where ts is non-null by validation)
-                        "ts": t.column(ts_col).to_pandas().fillna(pd.Timestamp.min),
-                        "off": pd.to_numeric(off).fillna(-1),
-                    })
+                    schemas, narrows = [], []
+                    for i, p in enumerate(paths):
+                        pf = pq.ParquetFile(p)
+                        schemas.append(pf.schema_arrow)
+                        want = [c for c in (key, ts_col, SYS_OFFSET)
+                                if c in pf.schema_arrow.names]
+                        nt = pq.read_table(p, columns=want, use_threads=False)
+                        off = nt.column(SYS_OFFSET).to_pandas() \
+                            if SYS_OFFSET in nt.column_names \
+                            else pd.Series([None] * len(nt))
+                        narrows.append(pd.DataFrame({
+                            "k": nt.column(key).to_pandas(),
+                            # NaT sorts LAST in pandas; pin null ts to the
+                            # floor so it can never beat a real timestamp
+                            "ts": nt.column(ts_col).to_pandas().fillna(pd.Timestamp.min),
+                            "off": pd.to_numeric(off).fillna(-1),
+                            "file": np.full(len(nt), i, dtype=np.int32),
+                            "row": np.arange(len(nt), dtype=np.int64),
+                        }))
+                    narrow = pd.concat(narrows, ignore_index=True)
+                    del narrows
                     win = (
                         narrow.sort_values(["k", "ts", "off"], kind="stable")
                         .drop_duplicates("k", keep="last")
-                        .index.sort_values()
                     )
-                    t = t.take(pa.array(win.to_numpy()))
+                    del narrow
+                    # unified output schema across evolution generations
+                    target = pa.unify_schemas(schemas, promote_options="permissive")
+                    for name, kind in ts_kinds.items():
+                        if name in target.names:
+                            want_t = pa.timestamp("us", tz="UTC" if kind == "utc" else None)
+                            i = target.names.index(name)
+                            target = target.set(
+                                i, target.field(i).with_type(want_t).remove_metadata()
+                            )
+                    # ---- pass 2 (streaming): one file in memory at a time;
+                    # rows land in (file, row) order — identical to the old
+                    # whole-bucket concat+take — and rotate across ~n_out
+                    # output files at the same chunk boundaries
+                    total = len(win)
+                    per = -(-total // n_out) if total else 0
+                    by_file = {
+                        int(fi): g["row"].to_numpy()
+                        for fi, g in win.sort_values(["file", "row"])
+                                        .groupby("file", sort=True)
+                    }
+                    del win
                     d = os.path.join(out_root, f"{SYS_BUCKET}={b}")
                     os.makedirs(d, exist_ok=True)
-                    per = -(-len(t) // n_out)
-                    names = []
-                    for i in range(n_out):
-                        part = t.slice(i * per, per)
-                        if i and not len(part):
-                            break
-                        name = f"part-{i:05d}.parquet"
-                        pq.write_table(part, os.path.join(d, name),
-                                       compression="snappy")
-                        names.append(name)
+                    names, writer, written = [], None, 0
+                    try:
+                        for i, p in enumerate(paths):
+                            rows = by_file.get(i)
+                            if rows is None or not len(rows):
+                                continue  # fully superseded file: never read wide
+                            t = cast_to(
+                                pq.read_table(p, use_threads=False), target
+                            ).take(pa.array(np.sort(rows)))
+                            pos = 0
+                            while pos < len(t):
+                                if writer is None:
+                                    name = f"part-{len(names):05d}.parquet"
+                                    names.append(name)
+                                    writer = pq.ParquetWriter(
+                                        os.path.join(d, name), target,
+                                        compression="snappy",
+                                    )
+                                room = per - (written % per) if per else len(t)
+                                chunk = t.slice(pos, room)
+                                writer.write_table(chunk)
+                                written += len(chunk)
+                                pos += len(chunk)
+                                if per and written % per == 0:
+                                    writer.close()
+                                    writer = None
+                    finally:
+                        if writer is not None:
+                            writer.close()
                     yield pd.DataFrame({"bucket": [b], "n_files": [len(names)],
-                                        "rows": [len(t)]})
+                                        "rows": [total]})
 
         # Range partitioning on the distinct bucket ids spreads buckets
         # evenly across tasks (hash repartition would collide ~40% of buckets

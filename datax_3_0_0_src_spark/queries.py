@@ -117,8 +117,9 @@ def cdc_replay_snapshot(spark, sf_dir):
 # (cdc/quarantine.py byte checks) -> LWW window on (warc_ts, log_offset) ->
 # tombstone filter. html is valid UTF-8 by construction => VARCHAR cast is
 # byte-faithful for the prefix/suffix checks.
-CDC_REPLAY_SQL = f"""
-WITH w AS (SELECT * FROM read_parquet('{_REPLAY_BASE}/wal/epoch=*/*.parquet')),
+def _replay_oracle_sql(base: str) -> str:
+    return f"""
+WITH w AS (SELECT * FROM read_parquet('{base}/wal/epoch=*/*.parquet')),
 v AS (SELECT * FROM w
       WHERE url IS NOT NULL AND warc_ts IS NOT NULL
         AND (op = 'D' OR (html IS NOT NULL
@@ -128,6 +129,49 @@ r AS (SELECT *, row_number() OVER (PARTITION BY url
         ORDER BY warc_ts DESC, log_offset DESC) AS rn FROM v)
 SELECT url, warc_ts, lang FROM r WHERE rn = 1 AND op <> 'D'
 """
+
+
+CDC_REPLAY_SQL = _replay_oracle_sql(_REPLAY_BASE)
+
+_REPLAY_FUSED_BASE = os.path.join(tempfile.gettempdir(), "cdc_replay_fused_42_20000")
+CDC_REPLAY_FUSED_SQL = _replay_oracle_sql(_REPLAY_FUSED_BASE)
+
+
+def cdc_replay_fused(spark, sf_dir):
+    """Flagship variant under the bench THROUGHPUT_PROFILE: single-pass fused
+    stage (one scan carries validation, executor-side quarantine/stats
+    side-writes, Arrow extraction — cdc/fused.py), pipelined MOR micro-batches
+    with optimistic-CAS commits, deferred LWW dedup, then a zero-exchange
+    local compaction fold. Same DuckDB oracle as cdc_replay_snapshot over its
+    own WAL — the high-throughput path and the classic two-job path must
+    converge to the identical final state, hash-exact."""
+    import shutil
+
+    from .cdc.gen import EventGenConfig, write_event_log
+    from .cdc.replayer import THROUGHPUT_PROFILE, ReplayConfig, Replayer
+
+    cfg = EventGenConfig(seed=42, n_events=20_000, events_per_epoch=5_000)
+    base = _REPLAY_FUSED_BASE
+    log_dir = os.path.join(base, "wal")
+    if not os.path.isdir(log_dir):
+        write_event_log(spark, cfg, log_dir, slices=8)
+    for sub in ("pages", "work"):
+        shutil.rmtree(os.path.join(base, sub), ignore_errors=True)
+    rep = Replayer(
+        spark,
+        ReplayConfig(
+            log_dir=log_dir,
+            table_path=os.path.join(base, "pages"),
+            work_dir=os.path.join(base, "work"),
+            num_buckets=16,
+            **THROUGHPUT_PROFILE,
+        ),
+    )
+    rep.run()
+    rep.table.compact(target_files_per_bucket=2,
+                      concurrency=THROUGHPUT_PROFILE["compact_concurrency"],
+                      strategy=THROUGHPUT_PROFILE["compact_strategy"])
+    return rep.table.read().select("url", "warc_ts", "lang")
 
 
 def cdc_cell_changes(spark, sf_dir):
@@ -887,6 +931,7 @@ QUERIES: dict[str, Query] = {
     "cdc_lww_latest": cdc_lww_latest,
     "cdc_apply_changes": cdc_apply_changes,
     "cdc_replay_snapshot": cdc_replay_snapshot,
+    "cdc_replay_fused": cdc_replay_fused,
     "cdc_cell_changes": cdc_cell_changes,
     "tpch_q1_pricing": tpch_q1_pricing,
     "tpch_q3_shipping": tpch_q3_shipping,
@@ -943,6 +988,7 @@ ORACLES: dict[str, str] = {
     "emb_ivf_topk_big": EMB_IVF_BIG_SQL,
     "emb_lsh_near_pairs": EMB_LSH_SQL,
     "cdc_replay_snapshot": CDC_REPLAY_SQL,
+    "cdc_replay_fused": CDC_REPLAY_FUSED_SQL,
     "multimodal_media_meta": MULTIMODAL_SQL,
     "multimodal_media_meta_mixed": MULTIMODAL_MIXED_SQL,
 }
