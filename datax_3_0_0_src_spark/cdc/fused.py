@@ -139,7 +139,9 @@ def fused_result_col(
                 dirty_parts.append(
                     pd.DataFrame(
                         {
-                            "log_offset": seq[d].astype("int64"),
+                            # nullable Int64: a foreign WAL may carry null
+                            # offsets on exactly the rows that are dirty
+                            "log_offset": seq[d].astype("Int64"),
                             "url": url[d],
                             "reason": reason[d],
                             "raw_payload": html[d],

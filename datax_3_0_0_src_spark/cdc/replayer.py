@@ -56,7 +56,15 @@ THROUGHPUT_PROFILE: dict = {
     "merge_mode": "mor",
     "dedup_per_batch": False,
     "lineage_level": "global",
-    "max_concurrent_batches": 2,
+    # rate-capped micro-batches + pipeline depth 4: measured best 32-core
+    # apply among {whole-epoch×2, 2M×3, 1M×3, 1M×4, 500k×6, 2M×4} (BENCH.md
+    # round-3 continued — more, smaller batches keep a steady pipeline of
+    # scan/extract/write/commit phases overlapping; 500k is past the knee
+    # where per-batch fixed costs win). The cap is the sandbox-scale stand-in
+    # for the reference's channel speed limit; production batches at 10^10
+    # events would be ~10^8 with the same pipeline shape.
+    "max_events_per_batch": 1_000_000,
+    "max_concurrent_batches": 4,
     "compact_concurrency": 4,
     "compact_strategy": "local",
     "single_pass": True,

@@ -464,12 +464,22 @@ class LakeTable:
         s.write.mode("errorifexists").partitionBy(SYS_BUCKET).parquet(out_dir)
 
         import pyarrow.parquet as pq
+        from concurrent.futures import ThreadPoolExecutor
 
         written = self._written_buckets(out_dir, rel_dir)
-        per_bucket = {
-            b: sum(pq.ParquetFile(os.path.join(self.path, f)).metadata.num_rows for f in fs)
-            for b, fs in written.items()
-        }
+        # footer reads are tiny but add up serially (buckets × salt files per
+        # batch, pure driver latency between the write job and the commit);
+        # read them in a small thread pool — metadata-only, I/O-bound
+        flat = [(b, f) for b, fs in written.items() for f in fs]
+        per_bucket: dict[int, int] = {b: 0 for b in written}
+        if flat:
+            with ThreadPoolExecutor(max_workers=min(8, len(flat))) as pool:
+                for (b, _f), n in zip(flat, pool.map(
+                    lambda bf: pq.ParquetFile(
+                        os.path.join(self.path, bf[1])).metadata.num_rows,
+                    flat,
+                )):
+                    per_bucket[b] += int(n)
         batch_rows = int(sum(per_bucket.values()))
         n_new = sum(len(fs) for fs in written.values())
         if pre_commit is not None:
