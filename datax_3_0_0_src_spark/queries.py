@@ -118,6 +118,11 @@ def cdc_replay_snapshot(spark, sf_dir):
 # tombstone filter. html is valid UTF-8 by construction => VARCHAR cast is
 # byte-faithful for the prefix/suffix checks.
 def _replay_oracle_sql(base: str) -> str:
+    # timezone('UTC', ...): the engine writes the WAL as parquet
+    # TIMESTAMP(MICROS, adjustedToUTC), which DuckDB surfaces as TIMESTAMPTZ;
+    # Spark's toPandas returns tz-NAIVE UTC instants. Convert explicitly so
+    # the driver's value comparison sees identical naive dtypes regardless of
+    # the harness's TimeZone setting.
     return f"""
 WITH w AS (SELECT * FROM read_parquet('{base}/wal/epoch=*/*.parquet')),
 v AS (SELECT * FROM w
@@ -127,7 +132,8 @@ v AS (SELECT * FROM w
              AND CAST(html AS VARCHAR) LIKE '%</body></html>'))),
 r AS (SELECT *, row_number() OVER (PARTITION BY url
         ORDER BY warc_ts DESC, log_offset DESC) AS rn FROM v)
-SELECT url, warc_ts, lang FROM r WHERE rn = 1 AND op <> 'D'
+SELECT url, timezone('UTC', warc_ts) AS warc_ts, lang
+FROM r WHERE rn = 1 AND op <> 'D'
 """
 
 

@@ -26,7 +26,10 @@ def normalize(pdf: pd.DataFrame) -> pd.DataFrame:
     pdf = pdf[sorted(pdf.columns)].copy()
     for c in pdf.columns:
         if pd.api.types.is_datetime64_any_dtype(pdf[c]):
-            pdf[c] = pd.to_datetime(pdf[c]).astype("datetime64[us]")
+            s = pd.to_datetime(pdf[c])
+            if getattr(s.dt, "tz", None) is not None:
+                s = s.dt.tz_convert("UTC").dt.tz_localize(None)
+            pdf[c] = s.astype("datetime64[us]")
         elif pd.api.types.is_float_dtype(pdf[c]):
             pdf[c] = pdf[c].astype("float64")
         elif pd.api.types.is_integer_dtype(pdf[c]):
