@@ -155,6 +155,9 @@ class Replayer:
     def __init__(self, spark: SparkSession, cfg: ReplayConfig):
         self.spark = spark
         self.cfg = cfg
+        # per-batch phase timelines (fused path): reviewable serial breakdown,
+        # surfaced by bench.py into the artifact
+        self.batch_timelines: list[dict] = []
         if not cfg.dedup_per_batch and cfg.merge_mode != "mor":
             raise ValueError(
                 "dedup_per_batch=False requires merge_mode='mor' (COW's "
@@ -568,6 +571,7 @@ class Replayer:
 
         cfg = self.cfg
         t0 = time.monotonic()
+        tl: dict = {"batch": batch_id, "t0": t0}
         from .fused import apply_fused, read_slice_stats
 
         ev = self.read_epoch(epoch).drop("epoch")
@@ -604,6 +608,7 @@ class Replayer:
                 percentage_limit=cfg.error_percentage_limit,
             )
 
+        tl["plan_s"] = time.monotonic() - t0
         stats = self.table.merge(
             winners,
             seq_col=cfg.seq_col,
@@ -619,7 +624,10 @@ class Replayer:
             },
         )
         applied = stats.batch_rows
+        tl.update(stats.laps or {})
+        _t = time.monotonic()
         sstats = read_slice_stats(slice_dir)
+        tl["slice_stats_s"] = time.monotonic() - _t
         events_read = sstats["events_read"]
         dirty_count = sstats["n_dirty"]
 
@@ -647,6 +655,9 @@ class Replayer:
             duration_s=time.monotonic() - t0,
         )
         self._write_checkpoint(res)
+        tl["total_s"] = res.duration_s
+        tl["t_end"] = time.monotonic()
+        self.batch_timelines.append(tl)  # list.append is GIL-atomic
         return res
 
     def _write_metrics_slice(self, rows: list[tuple], epoch: int, sub: int) -> None:

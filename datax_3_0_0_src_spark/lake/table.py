@@ -69,6 +69,7 @@ class MergeStats:
     batch_deletes: int
     new_files: int
     rows_per_bucket: dict | None = None  # bucket -> batch rows applied there
+    laps: dict | None = None  # phase -> seconds (write job, footers, commit)
 
 
 class LakeTable:
@@ -448,9 +449,13 @@ class LakeTable:
         (delta layering is order-free: LWW is resolved from (ts, offset) in
         the data, not from commit order). A crashed attempt's orphan dir is
         unreferenced and reclaimed by expire_snapshots."""
+        import time as _time
+
         nb = snap.num_buckets
         rel_dir = f"data/d{snap.version + 1:08d}-{uuid.uuid4().hex[:8]}"
         out_dir = os.path.join(self.path, rel_dir)
+        laps: dict[str, float] = {}
+        _t = _time.monotonic()
 
         # controlled layout: ~write_salt files per touched bucket (without the
         # repartition every upstream task spills a file into every bucket dir)
@@ -462,6 +467,8 @@ class LakeTable:
             F.pmod(F.xxhash64(F.col(key)), F.lit(write_salt)),
         )
         s.write.mode("errorifexists").partitionBy(SYS_BUCKET).parquet(out_dir)
+        laps["write_job"] = _time.monotonic() - _t
+        _t = _time.monotonic()
 
         import pyarrow.parquet as pq
         from concurrent.futures import ThreadPoolExecutor
@@ -482,8 +489,12 @@ class LakeTable:
                     per_bucket[b] += int(n)
         batch_rows = int(sum(per_bucket.values()))
         n_new = sum(len(fs) for fs in written.values())
+        laps["footers"] = _time.monotonic() - _t
+        _t = _time.monotonic()
         if pre_commit is not None:
             pre_commit()  # raising here aborts with no snapshot (orphan files)
+        laps["pre_commit"] = _time.monotonic() - _t
+        _t = _time.monotonic()
 
         for _attempt in range(64):
             base = self.snapshot()  # freshest — another committer may have won
@@ -516,7 +527,9 @@ class LakeTable:
                 continue  # optimistic-concurrency loser: re-layer and retry
         else:
             raise RuntimeError("MOR commit lost the optimistic race 64 times")
-        return MergeStats(new_snap.version, len(written), batch_rows, -1, n_new, per_bucket)
+        laps["commit_cas"] = _time.monotonic() - _t
+        return MergeStats(new_snap.version, len(written), batch_rows, -1, n_new,
+                          per_bucket, laps)
 
     # ------------------------------------------------------------- append
     def append(self, df: DataFrame, *, properties: dict | None = None) -> MergeStats:
