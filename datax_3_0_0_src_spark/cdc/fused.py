@@ -211,9 +211,12 @@ def apply_fused(
     seq_col: str = "log_offset",
     op_col: str = "op",
     delete_op: str = "D",
+    reason_fn=None,
 ) -> DataFrame:
     """Valid rows of ``df`` with ``text`` attached (and tombstone html nulled),
-    quarantine/stats side-written per task. ``df`` must carry ``SYS_BUCKET``."""
+    quarantine/stats side-written per task. ``df`` must carry ``SYS_BUCKET``.
+    ``reason_fn``: swappable validity rule (ReplayConfig.validity_rule);
+    default is the engine rule ``quarantine.reason_col``."""
     from .quarantine import reason_col
 
     res = fused_result_col(
@@ -222,7 +225,7 @@ def apply_fused(
     )
     is_del = F.col(op_col) == F.lit(delete_op)
     out = (
-        df.withColumn("_reason", reason_col(op_col, delete_op))
+        df.withColumn("_reason", (reason_fn or reason_col)(op_col, delete_op))
         .withColumn("_blen", F.octet_length("html"))
         .withColumn("text", res)
         .filter(F.col("_reason").isNull())

@@ -769,11 +769,19 @@ class LakeTable:
                         off = nt.column(SYS_OFFSET).to_pandas() \
                             if SYS_OFFSET in nt.column_names \
                             else pd.Series([None] * len(nt))
+                        # normalise ts repr per file BEFORE concat: a bucket
+                        # mixing legacy INT96 files (naive ns; values are UTC
+                        # instants) with engine-written us/UTC files would
+                        # otherwise concat to object dtype and the winner sort
+                        # would raise on naive-vs-aware comparison
+                        ts_s = nt.column(ts_col).to_pandas()
+                        if getattr(ts_s.dtype, "tz", None) is not None:
+                            ts_s = ts_s.dt.tz_convert("UTC").dt.tz_localize(None)
                         narrows.append(pd.DataFrame({
                             "k": nt.column(key).to_pandas(),
                             # NaT sorts LAST in pandas; pin null ts to the
                             # floor so it can never beat a real timestamp
-                            "ts": nt.column(ts_col).to_pandas().fillna(pd.Timestamp.min),
+                            "ts": ts_s.fillna(pd.Timestamp.min),
                             "off": pd.to_numeric(off).fillna(-1),
                             "file": np.full(len(nt), i, dtype=np.int32),
                             "row": np.arange(len(nt), dtype=np.int64),
@@ -785,15 +793,26 @@ class LakeTable:
                         .drop_duplicates("k", keep="last")
                     )
                     del narrow
-                    # unified output schema across evolution generations
-                    target = pa.unify_schemas(schemas, promote_options="permissive")
-                    for name, kind in ts_kinds.items():
-                        if name in target.names:
-                            want_t = pa.timestamp("us", tz="UTC" if kind == "utc" else None)
-                            i = target.names.index(name)
-                            target = target.set(
-                                i, target.field(i).with_type(want_t).remove_metadata()
-                            )
+                    # unified output schema across evolution generations.
+                    # Timestamp fields are normalized to the engine repr
+                    # (us, UTC-or-naive per ts_kinds) in EVERY input schema
+                    # BEFORE unify: legacy INT96 files surface as naive ns
+                    # and unify_schemas refuses to merge naive-vs-aware, so
+                    # a bucket mixing generations would otherwise fail here
+                    def _norm_ts(s: "pa.Schema") -> "pa.Schema":
+                        for name, kind in ts_kinds.items():
+                            if name in s.names:
+                                want_t = pa.timestamp(
+                                    "us", tz="UTC" if kind == "utc" else None)
+                                i = s.names.index(name)
+                                s = s.set(
+                                    i,
+                                    s.field(i).with_type(want_t).remove_metadata())
+                        return s
+
+                    target = pa.unify_schemas(
+                        [_norm_ts(s) for s in schemas],
+                        promote_options="permissive")
                     # ---- pass 2 (streaming): one file in memory at a time;
                     # rows land in (file, row) order — identical to the old
                     # whole-bucket concat+take — and rotate across ~n_out

@@ -4,10 +4,14 @@ Images/audio/video ride as ``binary`` columns with a small typed metadata
 struct, processed in Arrow batches via ``mapInPandas`` (never per-row Python
 UDF calls). Container *header* parsing is real, pure-Python, and needs no
 codec libraries: PNG IHDR, JPEG SOF marker scan, RIFF/WAVE fmt+data chunks,
-MP4 ftyp/moov/mvhd/tkhd box walk. Full pixel/sample DECODE (which would need PIL/libav, not
-present in this container) remains out of scope — ``media_feature_vectors``
-is the one declared stand-in (a deterministic pseudo-embedding in place of a
-vision/audio model) so the downstream ANN/dedup path can be exercised.
+MP4 ftyp/moov/mvhd/tkhd box walk. Content decode is ALSO real where stdlib
+suffices: ``decode_png`` (zlib IDAT inflate + RFC 2083 scanline unfilter,
+all 5 filter types, gray/RGB/palette/alpha) and ``decode_wav`` (PCM 8/16-bit)
+feed ``media_feature_vectors`` (pixel stats / RMS-ZCR-FFT features) and
+``media_content_stats`` (exact-integer stats, SQL-oracle-verifiable).
+Only entropy-coded formats (JPEG, MP4) — which genuinely need codec
+libraries this container does not ship — fall back to a deterministic
+byte-hash pseudo-embedding, labelled by the ``kind`` column.
 
 Scale notes: payloads never pass through the driver; metadata extraction is a
 narrow map (no shuffle); downstream dedup/similarity reuse the embedding
@@ -190,26 +194,314 @@ def extract_media_meta(
     return df.mapInPandas(gen, out_ddl)
 
 
+_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}  # PNG color type -> samples/pixel
+
+
+def decode_png(b: bytes) -> "np.ndarray | None":
+    """REAL stdlib PNG decode: walk chunks, ``zlib.decompress`` the
+    concatenated IDAT stream, reverse the per-scanline filter
+    (None/Sub/Up/Average/Paeth, RFC 2083 §6), apply PLTE for palette images.
+    Supports bit depth 8, color types 0/2/3/4/6, non-interlaced — i.e. the
+    deterministic thumbnails a feature pipeline would normalize to anyway.
+    Returns an (h, w, channels) uint8 array, or None for anything else
+    (16-bit, Adam7) — dirty media is a data fact, not a crash."""
+    import zlib
+
+    if len(b) < 33 or b[:8] != PNG_SIG:
+        return None
+    idat, plte = bytearray(), None
+    w = h = depth = ct = interlace = None
+    i = 8
+    while i + 8 <= len(b):
+        ln = int.from_bytes(b[i:i + 4], "big")
+        typ = b[i + 4:i + 8]
+        data = b[i + 8:i + 8 + ln]
+        if typ == b"IHDR" and ln >= 13:
+            w = int.from_bytes(data[0:4], "big")
+            h = int.from_bytes(data[4:8], "big")
+            depth, ct, interlace = data[8], data[9], data[12]
+        elif typ == b"PLTE":
+            plte = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
+        elif typ == b"IDAT":
+            idat += data
+        elif typ == b"IEND":
+            break
+        i += 12 + ln  # len + type + data + crc
+    if not (w and h) or depth != 8 or interlace != 0 or ct not in _CHANNELS:
+        return None
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error:
+        return None
+    ch = _CHANNELS[ct]
+    stride = w * ch
+    if len(raw) < h * (stride + 1):
+        return None
+    out = np.empty((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    pos = 0
+    for y in range(h):
+        ft = raw[pos]
+        line = np.frombuffer(raw, np.uint8, count=stride, offset=pos + 1).copy()
+        pos += 1 + stride
+        if ft == 0:
+            rec = line
+        elif ft == 2:  # Up — fully vectorized (uint8 add wraps mod 256)
+            rec = line + prev
+        elif ft == 1:  # Sub: recon[i] = raw[i] + recon[i-ch]
+            rec = line
+            for i2 in range(ch, stride):
+                rec[i2] = (int(rec[i2]) + int(rec[i2 - ch])) & 0xFF
+        elif ft == 3:  # Average
+            rec = line
+            for i2 in range(stride):
+                left = int(rec[i2 - ch]) if i2 >= ch else 0
+                rec[i2] = (int(rec[i2]) + ((left + int(prev[i2])) >> 1)) & 0xFF
+        elif ft == 4:  # Paeth
+            rec = line
+            for i2 in range(stride):
+                a = int(rec[i2 - ch]) if i2 >= ch else 0
+                up = int(prev[i2])
+                c = int(prev[i2 - ch]) if i2 >= ch else 0
+                p = a + up - c
+                pa, pb, pc = abs(p - a), abs(p - up), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (up if pb <= pc else c)
+                rec[i2] = (int(rec[i2]) + pred) & 0xFF
+        else:
+            return None
+        out[y] = rec
+        prev = rec
+    px = out.reshape(h, w, ch)
+    if ct == 3:  # palette lookup -> RGB
+        if plte is None or int(px.max()) >= len(plte):
+            return None
+        px = plte[px[:, :, 0]]
+    return px
+
+
+def decode_wav(b: bytes) -> "tuple[np.ndarray, int, int] | None":
+    """REAL stdlib WAV PCM decode: RIFF chunk walk + ``np.frombuffer`` of the
+    data chunk. PCM 16-bit (LE int16) and 8-bit (unsigned, rebased to signed)
+    only. Returns (samples[n, channels] int32, sample_rate, channels)."""
+    if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        return None
+    i, fmt, data = 12, None, None
+    while i + 8 <= len(b):
+        cid = b[i:i + 4]
+        sz = int.from_bytes(b[i + 4:i + 8], "little")
+        if cid == b"fmt " and i + 8 + 16 <= len(b):
+            fmt = b[i + 8:i + 8 + sz]
+        elif cid == b"data":
+            data = b[i + 8:i + 8 + sz]
+        i += 8 + sz + (sz & 1)
+    if fmt is None or data is None or len(fmt) < 16:
+        return None
+    audio_fmt = int.from_bytes(fmt[0:2], "little")
+    ch = int.from_bytes(fmt[2:4], "little")
+    sr = int.from_bytes(fmt[4:8], "little")
+    bits = int.from_bytes(fmt[14:16], "little")
+    if audio_fmt != 1 or ch < 1 or bits not in (8, 16):
+        return None
+    if bits == 16:
+        n = len(data) // (2 * ch)
+        s = np.frombuffer(data, "<i2", count=n * ch).astype(np.int32)
+    else:
+        n = len(data) // ch
+        s = np.frombuffer(data, np.uint8, count=n * ch).astype(np.int32) - 128
+    return s.reshape(n, ch), sr, ch
+
+
+def png_pixel_features(px: "np.ndarray") -> "np.ndarray":
+    """16-dim pixel-stat feature from a decoded (h, w, ch) image: luma
+    mean/var/min/max, 8-bin luma histogram fractions, mean |horizontal
+    gradient|, and (w, h, ch). Luma = exact channel mean for color images."""
+    h, w = px.shape[:2]
+    ch = px.shape[2] if px.ndim == 3 else 1
+    luma = px.reshape(h, w, -1)[:, :, :min(ch, 3)].mean(axis=2)
+    hist = np.bincount((luma.astype(np.int64) >> 5).ravel(), minlength=8)[:8]
+    dx = np.abs(np.diff(luma, axis=1)).mean() if w > 1 else 0.0
+    return np.array(
+        [luma.mean(), luma.var(), luma.min(), luma.max(),
+         *(hist / luma.size), dx, w, h, ch], dtype=np.float32)
+
+
+def wav_pcm_features(s: "np.ndarray", sr: int, ch: int, n_bands: int = 8,
+                     max_samples: int = 1 << 20) -> "np.ndarray":
+    """16-dim PCM feature from decoded samples (first channel, bounded):
+    RMS, mean |amplitude|, zero-crossing rate, peak, 8 rFFT band power
+    fractions, and (n_samples, sample_rate, ch, 0)."""
+    x = s[:max_samples, 0].astype(np.float64)
+    n = len(x)
+    if n == 0:
+        return np.zeros(16, dtype=np.float32)
+    rms = float(np.sqrt((x ** 2).mean()))
+    mean_abs = float(np.abs(x).mean())
+    sgn = np.sign(x)
+    nz = sgn != 0
+    zcr = float((np.diff(sgn[nz]) != 0).sum() / max(n - 1, 1))
+    peak = float(np.abs(x).max())
+    spec = np.abs(np.fft.rfft(x)) ** 2
+    bands = np.array_split(spec, n_bands)
+    e = np.array([b.sum() for b in bands])
+    tot = e.sum()
+    bands_frac = e / tot if tot > 0 else np.zeros(n_bands)
+    return np.array([rms, mean_abs, zcr, peak, *bands_frac, n, sr, ch, 0],
+                    dtype=np.float32)
+
+
 def media_feature_vectors(
     df: DataFrame, *, id_col: str = "doc_id", payload_col: str = "payload", dim: int = 16
 ) -> DataFrame:
-    """STAND-IN feature extractor: deterministic pseudo-embedding per payload.
-
-    Real systems put a vision/audio model here (not available in this
-    container); the stand-in hashes byte windows into a stable float vector so
-    the downstream ANN/dedup path (which is real) can be exercised end-to-end.
+    """REAL media feature extraction over Arrow batches (round-3 upgrade of
+    the former stand-in): PNG payloads are fully decoded (zlib inflate +
+    scanline unfilter, ``decode_png``) into pixel-stat features; WAV payloads
+    are PCM-decoded into RMS/ZCR/FFT-band features. JPEG/MP4 (entropy-coded —
+    decode genuinely needs codec libraries this container does not ship) and
+    unknown payloads keep the deterministic byte-hash pseudo-embedding so the
+    downstream ANN/dedup path still sees every row. ``kind`` says which.
     """
-    out_ddl = f"{id_col} long, feature array<float>"
+    out_ddl = f"{id_col} long, kind string, feature array<float>"
+
+    def hash_embed(b: bytes) -> np.ndarray:
+        arr = np.frombuffer(b.ljust(dim * 8, b"\0")[: dim * 8], dtype=np.uint64)
+        return ((arr % np.uint64(10_007)).astype(np.float32) / 10_007.0) - 0.5
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            feats = []
+            kinds, feats = [], []
             for b in pdf[payload_col]:
                 b = bytes(b) if b is not None else b""
-                arr = np.frombuffer(b.ljust(dim * 8, b"\0")[: dim * 8], dtype=np.uint64)
-                v = ((arr % np.uint64(10_007)).astype(np.float32) / 10_007.0) - 0.5
-                feats.append(v.tolist())
-            yield pd.DataFrame({id_col: pdf[id_col].to_numpy(), "feature": feats})
+                mt = _sniff_type(b)
+                kind, v = "hash_embed", None
+                if mt == "image/png":
+                    px = decode_png(b)
+                    if px is not None:
+                        kind, v = "pixel_stats", png_pixel_features(px)
+                elif mt == "audio/wav":
+                    dec = decode_wav(b)
+                    if dec is not None:
+                        kind, v = "pcm_stats", wav_pcm_features(*dec)
+                if v is None:
+                    v = hash_embed(b) if b else np.zeros(dim, dtype=np.float32)
+                    kind = kind if b else "empty"
+                v = v[:dim] if len(v) >= dim else np.pad(v, (0, dim - len(v)))
+                kinds.append(kind)
+                feats.append(v.astype(np.float32).tolist())
+            yield pd.DataFrame({id_col: pdf[id_col].to_numpy(),
+                                "kind": kinds, "feature": feats})
+
+    return df.mapInPandas(gen, out_ddl)
+
+
+def encode_png(px: "np.ndarray", filters: "list[int] | None" = None) -> bytes:
+    """Write a REAL gray/RGB/RGBA 8-bit PNG (sig + IHDR + zlib IDAT + IEND,
+    CRCs included). ``filters`` cycles per-scanline filter types (0-4) so a
+    round-trip through ``decode_png`` exercises every unfilter branch —
+    the encode side applies the exact RFC 2083 §6 forward filters."""
+    import zlib
+
+    if px.ndim == 2:
+        px = px[:, :, None]
+    h, w, ch = px.shape
+    ct = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
+    px = px.astype(np.uint8)
+    stride = w * ch
+    flat = px.reshape(h, stride).astype(np.int32)
+    prev = np.zeros(stride, dtype=np.int32)
+    raw = bytearray()
+    for y in range(h):
+        ft = filters[y % len(filters)] if filters else 0
+        line = flat[y]
+        left = np.concatenate([np.zeros(ch, np.int32), line[:-ch]])
+        upleft = np.concatenate([np.zeros(ch, np.int32), prev[:-ch]])
+        if ft == 0:
+            out = line
+        elif ft == 1:
+            out = line - left
+        elif ft == 2:
+            out = line - prev
+        elif ft == 3:
+            out = line - ((left + prev) >> 1)
+        else:  # Paeth
+            p = left + prev - upleft
+            pa, pb, pc = np.abs(p - left), np.abs(p - prev), np.abs(p - upleft)
+            pred = np.where((pa <= pb) & (pa <= pc), left,
+                            np.where(pb <= pc, prev, upleft))
+            out = line - pred
+        raw.append(ft)
+        raw += (out & 0xFF).astype(np.uint8).tobytes()
+        prev = line
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (len(data).to_bytes(4, "big") + typ + data
+                + zlib.crc32(typ + data).to_bytes(4, "big"))
+
+    ihdr = (w.to_bytes(4, "big") + h.to_bytes(4, "big")
+            + bytes([8, ct, 0, 0, 0]))
+    return (PNG_SIG + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(bytes(raw)))
+            + chunk(b"IEND", b""))
+
+
+def encode_wav(samples: "np.ndarray", sr: int) -> bytes:
+    """Write a REAL RIFF/WAVE PCM-16 payload from an (n, ch) int array."""
+    if samples.ndim == 1:
+        samples = samples[:, None]
+    ch = samples.shape[1]
+    data = samples.astype("<i2").tobytes()
+    ba = ch * 2
+    fmt = (b"fmt " + (16).to_bytes(4, "little") + (1).to_bytes(2, "little")
+           + ch.to_bytes(2, "little") + sr.to_bytes(4, "little")
+           + (sr * ba).to_bytes(4, "little") + ba.to_bytes(2, "little")
+           + (16).to_bytes(2, "little"))
+    chunks = fmt + b"data" + len(data).to_bytes(4, "little") + data
+    return b"RIFF" + (4 + len(chunks)).to_bytes(4, "little") + b"WAVE" + chunks
+
+
+def media_content_stats(
+    df: DataFrame, *, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """Integer content statistics from REAL decode — the SQL-verifiable face
+    of the feature extractor (every column is exact int64 arithmetic over the
+    decoded samples, so a DuckDB oracle recomputing them from a closed-form
+    pixel/sample function hash-matches bit-for-bit):
+
+    - PNG  -> kind='pixel_stats', m0=w, m1=h, s0=Σ sample, s1=Σ sample²,
+              s2=min, s3=max (over ALL channel samples)
+    - WAV  -> kind='pcm_stats', m0=n_frames, m1=sample_rate, s0=Σ s_i,
+              s1=Σ s_i², s2=#sign changes (s_i·s_{i-1}<0), s3=peak |s_i|
+              (first channel)
+    - else -> kind='undecodable', all stats null
+    """
+    out_ddl = (f"{id_col} long, kind string, m0 long, m1 long, "
+               "s0 long, s1 long, s2 long, s3 long")
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did, b in zip(pdf[id_col], pdf[payload_col]):
+                b = bytes(b) if b is not None else b""
+                mt = _sniff_type(b)
+                row = (int(did), "undecodable", None, None, None, None, None, None)
+                if mt == "image/png":
+                    px = decode_png(b)
+                    if px is not None:
+                        v = px.astype(np.int64).ravel()
+                        row = (int(did), "pixel_stats", px.shape[1], px.shape[0],
+                               int(v.sum()), int((v * v).sum()),
+                               int(v.min()), int(v.max()))
+                elif mt == "audio/wav":
+                    dec = decode_wav(b)
+                    if dec is not None and len(dec[0]):
+                        s, sr, _ch = dec
+                        x = s[:, 0].astype(np.int64)
+                        row = (int(did), "pcm_stats", len(x), sr,
+                               int(x.sum()), int((x * x).sum()),
+                               int((x[1:] * x[:-1] < 0).sum()),
+                               int(np.abs(x).max()))
+                rows.append(row)
+            yield pd.DataFrame(
+                rows, columns=[id_col, "kind", "m0", "m1", "s0", "s1", "s2", "s3"])
 
     return df.mapInPandas(gen, out_ddl)
 

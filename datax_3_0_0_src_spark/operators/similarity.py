@@ -100,11 +100,17 @@ def ivf_assign(
     vec_col: str = "embedding",
     n_cells: int = 16,
     broadcast_threshold: int = 64,
+    refine_iters: int = 0,
+    scale: int = 1000,
 ) -> DataFrame:
     """IVF coarse quantization: assign every vector to its nearest of
     ``n_cells`` centroid seeds (deterministically the vectors with the
     n_cells smallest ids — no iterative k-means, so the assignment is exactly
     reproducible in SQL). Returns (id, cell).
+
+    ``refine_iters > 0`` runs that many deterministic integer-exact Lloyd
+    iterations first (``ivf_refine_centroids``) and assigns against the
+    refined centroids — same argmax rule on the quantized vectors.
 
     Two physical strategies, same result (identical (sim, lowest-seed-id)
     argmax rule):
@@ -115,6 +121,15 @@ def ivf_assign(
       at the 2^10-2^14 cells a 100 TB corpus wants (the literal form would
       bloat the plan with n_cells embedded float arrays), at the cost of one
       map-side-combined aggregation on the vector id."""
+    if refine_iters > 0:
+        cents = ivf_refine_centroids(
+            df, id_col=id_col, vec_col=vec_col, n_cells=n_cells,
+            n_iters=refine_iters, scale=scale)
+        qv = F.transform(
+            F.col(vec_col), lambda x: F.round(x.cast("double") * scale).cast("long"))
+        q = df.select(F.col(id_col).alias("_vid"), qv.alias("_qv"))
+        return _q_assign(q, cents).withColumnRenamed("_vid", id_col)
+
     if n_cells <= broadcast_threshold:
         seeds = (
             df.filter(F.col(id_col) < n_cells)
@@ -152,6 +167,77 @@ def ivf_assign(
     )
 
 
+def _q_assign(q: DataFrame, cents: list[tuple[int, list[int]]]) -> DataFrame:
+    """Argmax assignment of quantized vectors to integer centroids via
+    broadcast join: sim = round(dot/(|v||c|), 6) with products/sums exact in
+    int64 (and in double — all < 2^53), ties to the lowest cell id. One
+    map-side-combined aggregation; no plan-literal bloat."""
+    spark = q.sparkSession
+    cdf = spark.createDataFrame(
+        [(c, v) for c, v in cents], "cell int, _cv array<long>")
+    pairs = q.crossJoin(F.broadcast(cdf))
+    dot = _dot(F.col("_qv"), F.col("_cv"))
+    nn = _norm(F.col("_qv")) * _norm(F.col("_cv"))
+    sim = F.when(nn > 0, F.round(dot / nn, 6)).otherwise(F.lit(-1.0))
+    return (
+        pairs.select("_vid", "cell", sim.alias("_s"))
+        .groupBy("_vid")
+        .agg(F.max(F.struct(F.col("_s").alias("s"),
+                            (-F.col("cell")).cast("long").alias("nid"))).alias("m"))
+        .select(F.col("_vid"), (-F.col("m.nid")).cast("int").alias("cell"))
+    )
+
+
+def ivf_refine_centroids(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    n_iters: int = 2,
+    scale: int = 1000,
+) -> list[tuple[int, list[int]]]:
+    """Deterministic Lloyd (k-means) refinement of the IVF coarse quantizer
+    (round-3 verdict item 4: id-seeded cells go unbalanced on skewed data).
+
+    Exactly reproducible across engines — no float accumulation anywhere:
+    embeddings are quantized to integers (``round(x·scale)``) and each
+    centroid is kept as the elementwise integer SUM of its members (cosine
+    is scale-invariant, so sum ≡ mean — no division, no drift). Every dot
+    product is exact int64 arithmetic (< 2^53, so also exact in double), so
+    a DuckDB oracle unrolling the same iterations hash-matches bit-for-bit.
+
+    Per iteration: one broadcast-join argmax assignment + one (cell, pos)
+    aggregation — both map-side combined; centroids (n_cells × dim longs)
+    are the only driver-side state. A cell left empty by an iteration keeps
+    its previous centroid. n_iters is small and fixed (2-3 captures most of
+    the balance win; this is a coarse quantizer, not a clustering product).
+    """
+    qv = F.transform(
+        F.col(vec_col), lambda x: F.round(x.cast("double") * scale).cast("long"))
+    q = df.select(F.col(id_col).alias("_vid"), qv.alias("_qv"))
+    cents = sorted(
+        (int(r[0]), [int(x) for x in r[1]])
+        for r in q.filter(F.col("_vid") < n_cells).collect()
+    )
+    for _ in range(n_iters):
+        assign = _q_assign(q, cents)
+        sums = (
+            q.join(assign, "_vid")
+            .select("cell", F.posexplode("_qv"))
+            .groupBy("cell", "pos")
+            .agg(F.sum("col").alias("s"))
+            .groupBy("cell")
+            .agg(F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "s"))),
+                lambda st: st.getField("s")).alias("c"))
+            .collect()
+        )
+        new = {int(r[0]): [int(x) for x in r[1]] for r in sums}
+        cents = [(cell, new.get(cell, old)) for cell, old in cents]
+    return cents
+
+
 def ivf_topk(
     df: DataFrame,
     *,
@@ -161,14 +247,17 @@ def ivf_topk(
     n_cells: int = 16,
     k: int = 5,
     broadcast_threshold: int = 64,
+    refine_iters: int = 0,
 ) -> DataFrame:
     """IVF ANN search (nprobe=1): exact cosine top-k, but only within the
     query's own quantizer cell — the candidate join shuffles on ``cell``
     instead of broadcasting the corpus. Approximate by design (neighbors in
-    other cells are unseen), deterministic, SQL-twin-checkable."""
+    other cells are unseen), deterministic, SQL-twin-checkable.
+    ``refine_iters`` > 0 uses Lloyd-refined centroids for the cell map."""
     query_ids = query_ids or list(range(10))
     assign = ivf_assign(df, id_col=id_col, vec_col=vec_col, n_cells=n_cells,
-                        broadcast_threshold=broadcast_threshold)
+                        broadcast_threshold=broadcast_threshold,
+                        refine_iters=refine_iters)
     withc = df.select(F.col(id_col), F.col(vec_col)).join(assign, id_col)
     q = withc.filter(F.col(id_col).isin(query_ids)).select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"), "cell"

@@ -738,6 +738,78 @@ def emb_ivf_topk(spark, sf_dir):
     )
 
 
+def emb_ivf_topk_refined(spark, sf_dir):
+    """IVF ANN with Lloyd-refined centroids (round-3 verdict item 4): 2
+    deterministic k-means iterations on integer-quantized embeddings —
+    centroids are elementwise integer SUMS (cosine is scale-invariant), so
+    every dot product is exact int64 arithmetic and the DuckDB oracle
+    unrolling the same 3 assignments + 2 updates matches bit-for-bit."""
+    return similarity.ivf_topk(
+        _t(spark, sf_dir, "embeddings"), query_ids=list(range(10)),
+        n_cells=16, k=5, refine_iters=2,
+    )
+
+
+def _ivf_refined_sql(n_cells: int, n_iters: int = 2, scale: int = 1000) -> str:
+    """Unrolled Lloyd oracle: c0 = quantized seed vectors; per iteration an
+    argmax assignment (sim rounded 6dp, ties to lowest cell, −1 when a norm
+    is 0) and an elementwise-sum centroid update (empty cell keeps its
+    previous centroid); final assignment feeds the within-cell float top-k."""
+    def qsim(v, c):
+        dd = _fold_dot(v, c)
+        n1, n2 = _fold_dot(v, v), _fold_dot(c, c)
+        return (f"CASE WHEN sqrt({n1}) * sqrt({n2}) > 0 "
+                f"THEN round({dd} / (sqrt({n1}) * sqrt({n2})), 6) "
+                f"ELSE -1.0 END")
+
+    parts = [f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+q AS (SELECT vec_id,
+        list_transform(embedding, x -> CAST(round(x * {scale}) AS BIGINT)) AS qv
+      FROM embeddings),
+c0 AS (SELECT CAST(vec_id AS INT) AS cell, qv AS c FROM q WHERE vec_id < {n_cells})"""]
+    prev = "c0"
+    for t in range(n_iters):
+        parts.append(f""",
+a{t} AS (SELECT vec_id, cell FROM
+           (SELECT q.vec_id, {prev}.cell,
+                   row_number() OVER (PARTITION BY q.vec_id
+                     ORDER BY {qsim('q.qv', f'{prev}.c')} DESC, {prev}.cell ASC) AS rn
+            FROM q CROSS JOIN {prev})
+         WHERE rn = 1),
+s{t + 1} AS (SELECT cell, list(s ORDER BY i) AS c FROM
+           (SELECT a{t}.cell, i.i, SUM(q.qv[i.i]) AS s
+            FROM q JOIN a{t} USING (vec_id),
+                 (SELECT unnest(generate_series(1, 64)) AS i) i
+            GROUP BY a{t}.cell, i.i)
+         GROUP BY cell),
+c{t + 1} AS (SELECT p.cell, COALESCE(s{t + 1}.c, p.c) AS c
+         FROM {prev} p LEFT JOIN s{t + 1} USING (cell))""")
+        prev = f"c{t + 1}"
+    parts.append(f""",
+assign AS (SELECT vec_id, cell FROM
+             (SELECT q.vec_id, {prev}.cell,
+                     row_number() OVER (PARTITION BY q.vec_id
+                       ORDER BY {qsim('q.qv', f'{prev}.c')} DESC, {prev}.cell ASC) AS rn
+              FROM q CROSS JOIN {prev})
+           WHERE rn = 1),
+qr AS (SELECT a.vec_id AS query_id, a.cell, v.vec AS qv2
+       FROM assign a JOIN v ON v.vec_id = a.vec_id WHERE a.vec_id < 10),
+c AS (SELECT a.vec_id AS neighbor_id, a.cell, v.vec AS cv
+      FROM assign a JOIN v ON v.vec_id = a.vec_id),
+p AS (SELECT query_id, neighbor_id,
+        round({_fold_dot('qv2', 'cv')}
+              / (sqrt({_fold_dot('qv2', 'qv2')}) * sqrt({_fold_dot('cv', 'cv')})), 6) AS cosine_sim
+      FROM c JOIN qr USING (cell) WHERE neighbor_id <> query_id),
+r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+      ORDER BY cosine_sim DESC, neighbor_id ASC) AS rank FROM p)
+SELECT query_id, rank, neighbor_id, cosine_sim FROM r WHERE rank <= 5""")
+    return "".join(parts)
+
+
+EMB_IVF_REFINED_SQL = _ivf_refined_sql(16, 2)
+
+
 def emb_ivf_topk_big(spark, sf_dir):
     """IVF ANN at a cell count past the literal-embedding threshold (128 >
     64): the centroid assignment runs as a BROADCAST-JOIN argmax — the plan
@@ -932,6 +1004,86 @@ FROM documents
 """
 
 
+def multimodal_features(spark, sf_dir):
+    """REAL media content decode, hash-verified (round-3 verdict item 2):
+    even doc_ids get a complete gray PNG (zlib-compressed IDAT, per-scanline
+    filters cycling through all 5 RFC 2083 types) whose pixel at (x, y) is
+    the closed form (x + 2y + doc_id) % 256; odd doc_ids get a PCM-16 WAV
+    whose sample i is ((i·k + doc_id) % 4001) − 2000, k = doc_id % 31 + 1.
+    The engine inflates/unfilters (decode_png) or PCM-decodes (decode_wav)
+    and emits exact-integer stats — any defect in the inflate, unfilter, or
+    PCM path breaks the hash against the DuckDB oracle, which recomputes the
+    same sums from the closed form via generate_series."""
+    from .operators.multimodal import encode_png, encode_wav, media_content_stats
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def synth(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                if d % 2 == 0:
+                    w, h = d % 24 + 8, (d * 7) % 24 + 8
+                    x, y = np.arange(w), np.arange(h)
+                    px = ((x[None, :] + 2 * y[:, None] + d) % 256).astype(np.uint8)
+                    payloads.append(
+                        encode_png(px, filters=[(d + i) % 5 for i in range(5)]))
+                else:
+                    n, sr, k = d % 400 + 100, 8000 + (d % 8) * 1000, d % 31 + 1
+                    s = ((np.arange(n) * k + d) % 4001) - 2000
+                    payloads.append(encode_wav(s.astype(np.int32), sr))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    media = docs.mapInPandas(synth, "doc_id long, payload binary")
+    return media_content_stats(media)
+
+
+MULTIMODAL_FEATURES_SQL = """
+WITH ids AS (SELECT doc_id AS d FROM documents),
+png AS (
+  SELECT d, d % 24 + 8 AS w, (d * 7) % 24 + 8 AS h FROM ids WHERE d % 2 = 0
+),
+pngpix AS (
+  SELECT p.d, p.w, p.h, (x.x + 2 * y.y + p.d) % 256 AS v
+  FROM png p,
+       LATERAL (SELECT unnest(generate_series(0, p.w - 1)) AS x) x,
+       LATERAL (SELECT unnest(generate_series(0, p.h - 1)) AS y) y
+),
+pngstats AS (
+  SELECT d AS doc_id, 'pixel_stats' AS kind,
+         CAST(MIN(w) AS BIGINT) AS m0, CAST(MIN(h) AS BIGINT) AS m1,
+         CAST(SUM(v) AS BIGINT) AS s0, CAST(SUM(v * v) AS BIGINT) AS s1,
+         CAST(MIN(v) AS BIGINT) AS s2, CAST(MAX(v) AS BIGINT) AS s3
+  FROM pngpix GROUP BY d
+),
+wav AS (
+  SELECT d, d % 400 + 100 AS n, 8000 + (d % 8) * 1000 AS sr, d % 31 + 1 AS k
+  FROM ids WHERE d % 2 = 1
+),
+wavsamp AS (
+  SELECT w.d, w.n, w.sr, i.i, (i.i * w.k + w.d) % 4001 - 2000 AS s
+  FROM wav w,
+       LATERAL (SELECT unnest(generate_series(0, w.n - 1)) AS i) i
+),
+wavstats AS (
+  SELECT d AS doc_id, 'pcm_stats' AS kind,
+         CAST(MIN(n) AS BIGINT) AS m0, CAST(MIN(sr) AS BIGINT) AS m1,
+         CAST(SUM(s) AS BIGINT) AS s0, CAST(SUM(s * s) AS BIGINT) AS s1,
+         CAST(SUM(CASE WHEN prev_s IS NOT NULL AND s * prev_s < 0
+                       THEN 1 ELSE 0 END) AS BIGINT) AS s2,
+         CAST(MAX(ABS(s)) AS BIGINT) AS s3
+  FROM (SELECT *, LAG(s) OVER (PARTITION BY d ORDER BY i) AS prev_s
+        FROM wavsamp)
+  GROUP BY d
+)
+SELECT * FROM pngstats UNION ALL SELECT * FROM wavstats
+"""
+
+
 # ==================================================================== catalog
 QUERIES: dict[str, Query] = {
     "cdc_lww_latest": cdc_lww_latest,
@@ -961,9 +1113,11 @@ QUERIES: dict[str, Query] = {
     "emb_cosine_topk": emb_cosine_topk,
     "emb_ivf_topk": emb_ivf_topk,
     "emb_ivf_topk_big": emb_ivf_topk_big,
+    "emb_ivf_topk_refined": emb_ivf_topk_refined,
     "emb_lsh_near_pairs": emb_lsh_near_pairs,
     "multimodal_media_meta": multimodal_media_meta,
     "multimodal_media_meta_mixed": multimodal_media_meta_mixed,
+    "multimodal_features": multimodal_features,
 }
 
 ORACLES: dict[str, str] = {
@@ -992,9 +1146,11 @@ ORACLES: dict[str, str] = {
     "emb_cosine_topk": EMB_COSINE_TOPK_SQL,
     "emb_ivf_topk": EMB_IVF_SQL,
     "emb_ivf_topk_big": EMB_IVF_BIG_SQL,
+    "emb_ivf_topk_refined": EMB_IVF_REFINED_SQL,
     "emb_lsh_near_pairs": EMB_LSH_SQL,
     "cdc_replay_snapshot": CDC_REPLAY_SQL,
     "cdc_replay_fused": CDC_REPLAY_FUSED_SQL,
     "multimodal_media_meta": MULTIMODAL_SQL,
     "multimodal_media_meta_mixed": MULTIMODAL_MIXED_SQL,
+    "multimodal_features": MULTIMODAL_FEATURES_SQL,
 }

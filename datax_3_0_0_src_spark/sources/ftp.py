@@ -97,6 +97,51 @@ class FtplibClient:
         return buf.getvalue()
 
 
+class HttpRangeClient:
+    """HTTP(S) object-store transport — the OSS/S3 analog of the reference's
+    ossreader (`ossreader/src/main/java/.../OssReader.java` object list +
+    GetObject) on pure stdlib urllib. Picklable: only the base URL and
+    timeout travel to executors; every task issues its own requests.
+
+    - ``listdir(path)``: GET ``<base>/<path>/`` expecting a JSON array of
+      object names — the LIST-API analog (object stores list via an API
+      call, not an FTP-style directory walk). A server can produce it with
+      any index handler; the test suite's stub serves one per directory.
+    - ``fetch(path)``: GET the object.
+    - ``fetch_range(path, start, length)``: GET with a ``Range`` header —
+      the partial-object read an executor uses to pull only its split of a
+      large object (HTTP 206; a server ignoring Range returns 200 and the
+      client slices locally so the result is identical either way).
+    """
+
+    def __init__(self, base_url: str, timeout: int = 60):
+        self.base_url = base_url.rstrip("/")
+        self.timeout = timeout
+
+    def _get(self, path: str, headers: dict | None = None) -> tuple[int, bytes]:
+        import urllib.request
+
+        req = urllib.request.Request(
+            f"{self.base_url}/{path.lstrip('/')}", headers=headers or {})
+        with urllib.request.urlopen(req, timeout=self.timeout) as resp:
+            return resp.status, resp.read()
+
+    def listdir(self, path: str) -> list[str]:
+        _, body = self._get(path.rstrip("/") + "/")
+        return sorted(json.loads(body))
+
+    def fetch(self, path: str) -> bytes:
+        _, body = self._get(path)
+        return body
+
+    def fetch_range(self, path: str, start: int, length: int) -> bytes:
+        status, body = self._get(
+            path, headers={"Range": f"bytes={start}-{start + length - 1}"})
+        if status == 206:
+            return body
+        return body[start:start + length]  # server ignored Range: slice
+
+
 def expand_paths(client, paths: list[str]) -> list[str]:
     """Glob/dir expansion of the configured path list (driver-side metadata,
     TxtFileReader.java:349-360 parity): an entry ending in "/" lists the
@@ -137,10 +182,13 @@ def _decompress(name: str, data: bytes) -> bytes:
 
 @register_reader("ftpreader")
 @register_reader("txtfilereader")
+@register_reader("ossreader")
 def read_ftp(spark: SparkSession, p: dict) -> DataFrame:
     """parameter:
-    - client: picklable transport (FtplibClient / LocalDirClient / custom),
-      or host/port/username/password to build an FtplibClient
+    - client: picklable transport (FtplibClient / LocalDirClient /
+      HttpRangeClient / custom), or host/port/username/password to build an
+      FtplibClient, or endpoint (base URL) to build an HttpRangeClient
+      (ossreader form)
     - path: list of files, dirs ("x/"), or globs ("x/*.csv")
     - schema: Spark DDL (required — the reference's column/type list)
     - fileType: "csv" (default) | "text" | "json"
@@ -148,11 +196,16 @@ def read_ftp(spark: SparkSession, p: dict) -> DataFrame:
       (UnstructuredStorageReaderUtil parity); .gz/.bz2 decompressed by name
     - channel: max parallel fetch tasks (default 4)
     """
-    client = p.get("client") or FtplibClient(
-        host=p["host"], port=int(p.get("port", 21)),
-        username=p.get("username", "anonymous"), password=p.get("password", ""),
-        timeout=int(p.get("timeout", 60)),
-    )
+    client = p.get("client")
+    if client is None and p.get("endpoint"):
+        client = HttpRangeClient(p["endpoint"], timeout=int(p.get("timeout", 60)))
+    if client is None:
+        client = FtplibClient(
+            host=p["host"], port=int(p.get("port", 21)),
+            username=p.get("username", "anonymous"),
+            password=p.get("password", ""),
+            timeout=int(p.get("timeout", 60)),
+        )
     schema_ddl = p.get("schema")
     if not schema_ddl:
         raise ValueError("ftpreader requires an explicit 'schema' DDL "

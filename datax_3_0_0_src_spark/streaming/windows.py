@@ -152,24 +152,70 @@ def _sessionize_fn(key, pdf_iter, state):
     yield pd.DataFrame(rows, columns=["user_id", "session_id", "n_events", "session_value"])
 
 
+def _sessionize_evict_fn(timeout_s: int):
+    """``_sessionize_fn`` with event-time state eviction: after updating, the
+    state arms an event-time timeout at last_ts + timeout_s; when the
+    watermark passes it the key's state is REMOVED — the open session was
+    already emitted in update mode, so eviction loses no output, it bounds
+    the state store (quiet keys would otherwise accumulate forever on an
+    unbounded key space). A key reappearing after eviction starts a fresh
+    session numbering (its gap necessarily exceeded the session gap, so the
+    session SPLIT is correct; only the serial id restarts — downstream
+    consumers needing globally unique session keys should key on
+    (user_id, first emission) or use a start-ts-derived id)."""
+
+    def fn(key, pdf_iter, state):
+        if state.hasTimedOut:
+            state.remove()
+            yield pd.DataFrame(
+                [], columns=["user_id", "session_id", "n_events", "session_value"])
+            return
+        out = list(_sessionize_fn(key, pdf_iter, state))
+        last_ts = state.get[0]
+        state.setTimeoutTimestamp((int(last_ts) + timeout_s) * 1000)
+        yield from out
+
+    return fn
+
+
 def sessionize_stream(
     spark: SparkSession,
     events_dir: str,
     *,
     schema_ddl: str = EVENTS_DDL,
     max_files_per_trigger: int | None = None,
+    state_timeout_s: int | None = None,
+    watermark_delay_s: int = 60,
 ) -> DataFrame:
     """30-minute-gap sessionization as a custom stateful streaming operator
     (``applyInPandasWithState``), keyed by user; state carries the open
     session across micro-batches. Event-time ordering within a user is
     guaranteed per-batch by sorting; cross-batch order relies on the source's
-    epoch ordering (the WAL contract)."""
+    epoch ordering (the WAL contract).
+
+    ``state_timeout_s`` bounds the state store: a watermark is attached
+    (``watermark_delay_s``) and each key's state is evicted once the
+    watermark passes last_ts + state_timeout_s (see _sessionize_evict_fn).
+    Without it state grows with the distinct-key count forever — fine for a
+    bounded key space, wrong for an unbounded one."""
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     reader = spark.readStream.schema(schema_ddl)
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
     ev = reader.parquet(events_dir)
+    if state_timeout_s is not None:
+        return (
+            ev.withWatermark("ts", f"{watermark_delay_s} seconds")
+            .groupBy("user_id")
+            .applyInPandasWithState(
+                _sessionize_evict_fn(state_timeout_s),
+                outputStructType=SESSION_OUT_DDL,
+                stateStructType=SESSION_STATE_DDL,
+                outputMode="update",
+                timeoutConf=GroupStateTimeout.EventTimeTimeout,
+            )
+        )
     return (
         ev.groupBy("user_id")
         .applyInPandasWithState(

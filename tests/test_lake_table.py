@@ -419,3 +419,32 @@ def test_local_fold_preserves_late_delta_and_rejects_conflict(spark, tmp_path):
     # conflict: a second fold from the stale snapshot must be rejected
     with pytest.raises(RuntimeError, match="concurrent compaction"):
         t._compact_local(stale, todo, 1)
+
+
+def test_local_fold_mixed_int96_and_micros_files(spark, tmp_path):
+    """ADVICE round-3: a bucket mixing legacy INT96 delta files (Arrow-naive
+    ns) with engine-written TIMESTAMP_MICROS/UTC files must fold — pass 1
+    normalizes each per-file ts frame before concat (naive-vs-aware compare
+    raised before), and LWW winners respect the real instants across reprs."""
+    path = str(tmp_path / "mixed_ts")
+    t = make_table(spark, path, nb=2)
+    # legacy writer: INT96 parquet timestamps (pre-round-3 tables)
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "INT96")
+    try:
+        t.merge(batch(spark, [
+            ("u1", "2026-01-01T10:00:00", "<html>a</html>", "a", "en", 1, "U"),
+            ("u2", "2026-01-01T10:00:00", "<html>b</html>", "b", "en", 2, "U"),
+        ]), mode="mor")
+    finally:
+        spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    # modern writer: micros/UTC — u1 older (loses), u2 newer (wins)
+    t.merge(batch(spark, [
+        ("u1", "2026-01-01T09:00:00", "<html>old</html>", "old", "en", 3, "U"),
+        ("u2", "2026-01-01T11:00:00", "<html>new</html>", "new", "en", 4, "U"),
+    ]), mode="mor")
+    t.compact(target_files_per_bucket=1, strategy="local")
+    got = state(t)
+    assert got["u1"][1] == "a"      # INT96 instant beat the older micros row
+    assert got["u2"][1] == "new"    # newer micros row beat the INT96 instant
+    snap = t.snapshot()
+    assert all(not snap.bucket_deltas(b) for b in range(2))  # fully folded

@@ -177,3 +177,64 @@ def test_stream_watermark_late_data_vs_duckdb_oracle(spark, tmp_path):
     b_mins = set(_us(builtin["minute"]).dt.strftime("%H:%M"))
     assert "10:00" in b_mins                 # closed window emitted exactly once
     assert "09:45" in b_mins                 # one-sided guarantee: NOT dropped
+
+
+def test_stream_sessionize_state_eviction_bounds(spark, tmp_path):
+    """Round-3 verdict item 7: quiet keys must be EVICTED from the state
+    store (event-time timeout) while the emitted sessions still match the
+    batch oracle. Three micro-batches: (1) 50 users burst at t0, (2) one
+    active user 2h later — advancing the watermark past every quiet key's
+    horizon, (3) the same user again — the batch in which the 50 time out."""
+    import os
+
+    t0 = pd.Timestamp("2026-01-01 00:00:00")
+    d = tmp_path / "evict_stream"
+    d.mkdir()
+
+    def write(name, rows):
+        pdf = pd.DataFrame(rows, columns=["event_id", "user_id", "ts",
+                                          "event_type", "value", "props"])
+        pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+        spark.createDataFrame(pdf).coalesce(1).write.mode("overwrite").parquet(
+            str(tmp_path / ("stage_" + name)))
+        src = next(f for f in os.listdir(tmp_path / ("stage_" + name))
+                   if f.endswith(".parquet"))
+        os.rename(tmp_path / ("stage_" + name) / src, d / name)
+
+    burst = [(u, u, t0, "view", 1.0, "{}") for u in range(1, 51)]
+    write("a.parquet", burst)
+    write("b.parquet", [(100, 999, t0 + pd.Timedelta(hours=2), "view", 2.0, "{}")])
+    write("c.parquet", [(101, 999, t0 + pd.Timedelta(hours=4), "view", 3.0, "{}")])
+
+    q = (
+        sessionize_stream(spark, str(d), max_files_per_trigger=1,
+                          state_timeout_s=1800)
+        .writeStream.format("memory").queryName("s_evict")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt_evict"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    state_rows = [
+        p["stateOperators"][0]["numRowsTotal"]
+        for p in q.recentProgress if p.get("stateOperators")
+    ]
+    # the 50 burst users' states were evicted once the watermark passed
+    # t0 + 30 min: only the still-active user remains in the store
+    assert state_rows[0] >= 50
+    assert state_rows[-1] == 1, state_rows
+
+    got = spark.table("s_evict").toPandas()
+    got = (
+        got.sort_values(["user_id", "session_id", "n_events"])
+        .groupby(["user_id", "session_id"], as_index=False).last()
+    )
+    # oracle: every burst user has exactly one 1-event session; user 999 has
+    # two singleton sessions (2h and 4h — both gaps exceed 30 min)
+    exp = pd.DataFrame(
+        [(u, 1, 1, 1.0) for u in range(1, 51)]
+        + [(999, 1, 1, 2.0), (999, 2, 1, 3.0)],
+        columns=["user_id", "session_id", "n_events", "session_value"],
+    )
+    pd.testing.assert_frame_equal(_norm(got), _norm(exp), check_dtype=False)

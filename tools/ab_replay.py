@@ -31,7 +31,7 @@ print("\n=== best-of summary ===")
 for (cores, sp), ts in sorted(results.items()):
     best = min(ts)
     print(f"cores={cores} single_pass={sp}: best apply={best:.2f}s "
-          f"({8_000_000/best:,.0f} ev/s) all={[round(t,1) for t in ts]} "
+          f"({bench.N_EVENTS/best:,.0f} ev/s) all={[round(t,1) for t in ts]} "
           f"fold_best={min(folds[(cores,sp)]):.2f}s")
 for sp in ("1", "0"):
     t8, t32 = min(results[(8, sp)]), min(results[(32, sp)])
