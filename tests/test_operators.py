@@ -243,3 +243,55 @@ def test_ivf_broadcast_mode_matches_literal_and_plan_is_small(spark):
     assert "Broadcast" in plan_bj
     # the literal plan embeds 32 x 64 floats; the broadcast plan must not
     assert len(plan_bj) < len(plan_lit) / 4
+
+
+def test_ivf_lloyd_refinement_balances_skewed_seeds(spark):
+    """Round-3 verdict item 4: id-seeded IVF goes unbalanced when the lowest
+    ids cluster together; deterministic integer-exact Lloyd refinement must
+    (a) match a numpy mirror of the same quantized iterations EXACTLY and
+    (b) rebalance the cells on a skewed fixture."""
+    import numpy as np
+
+    from datax_3_0_0_src_spark.operators.similarity import ivf_assign
+
+    rng = np.random.RandomState(5)
+    dim, n_cells = 16, 4
+    centers = rng.randn(n_cells, dim) * 3
+    rows = []
+    for i in range(400):
+        c = 0 if i < n_cells else i % n_cells  # seeds ALL inside cluster 0
+        v = centers[c] + rng.randn(dim) * 0.3
+        rows.append((i, [float(x) for x in v]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    # numpy mirror of the exact quantized rule (sum-centroids, 6dp sims,
+    # ties to lowest cell, empty cell keeps previous centroid)
+    q = np.round(np.array([r[1] for r in rows], dtype=np.float64) * 1000
+                 ).astype(np.int64)
+
+    def assign(cents):
+        C = np.stack(cents).astype(np.float64)
+        V = q.astype(np.float64)
+        nn = (np.linalg.norm(V, axis=1)[:, None]
+              * np.linalg.norm(C, axis=1)[None, :])
+        sim = np.where(nn > 0,
+                       np.round((V @ C.T) / np.where(nn == 0, 1, nn), 6), -1.0)
+        return sim.argmax(axis=1)  # first max == lowest cell on ties
+
+    cents = [q[i].copy() for i in range(n_cells)]
+    seed_assign = assign(cents)
+    for _ in range(2):
+        a = assign(cents)
+        cents = [q[a == c].sum(axis=0) if (a == c).any() else cents[c]
+                 for c in range(n_cells)]
+    expected = assign(cents)
+
+    got = {r["vec_id"]: r["cell"] for r in
+           ivf_assign(emb, n_cells=n_cells, refine_iters=2).collect()}
+    assert [got[i] for i in range(400)] == expected.tolist()
+
+    def max_share(a):
+        return np.bincount(a, minlength=n_cells).max() / len(a)
+
+    assert max_share(seed_assign) > 0.45          # skewed seeds really skew
+    assert max_share(expected) < 0.30             # refinement rebalances
