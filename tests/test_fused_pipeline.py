@@ -284,3 +284,20 @@ def test_concurrent_exactly_once_kill_soak(spark, log_and_work):
         n_delta, dups = delta_rows(resumed)
         assert dups == 0, f"seed {seed} ({mode}): duplicate delta rows"
         assert n_delta == n_base_delta, f"seed {seed} ({mode})"
+
+
+def test_single_pass_normalizes_lineage_level(spark, log_and_work):
+    """ADVICE round-3: single_pass cannot produce per-bucket read/dedup
+    lineage; requesting 'bucket' alongside it must warn and normalize to
+    'global' instead of silently changing the metrics shape."""
+    import warnings
+
+    log_dir, work, table = log_and_work
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        rep = Replayer(spark, ReplayConfig(
+            log_dir=log_dir, work_dir=work, table_path=table, num_buckets=8,
+            merge_mode="mor", dedup_per_batch=False, single_pass=True,
+            lineage_level="bucket"))
+    assert rep.cfg.lineage_level == "global"
+    assert any("lineage_level" in str(x.message) for x in w)
