@@ -170,15 +170,30 @@ def _idle_frac(dt: float = 1.0) -> float:
         return 1.0
 
 
+def _steal_frac_window(dt: float = 1.0) -> float:
+    """Hypervisor steal fraction over a short window (/proc/stat col 8)."""
+    try:
+        s0, t0m = _steal_jiffies(), time.monotonic()
+        time.sleep(dt)
+        ncpu = os.cpu_count() or 32
+        hz = os.sysconf("SC_CLK_TCK") if hasattr(os, "sysconf") else 100
+        return (_steal_jiffies() - s0) / ((time.monotonic() - t0m) * hz * ncpu)
+    except OSError:
+        return 0.0
+
+
 def wait_for_idle(min_idle: float = 0.6, timeout: float = 90.0) -> float:
-    """Hold a child's launch until the box is mostly idle. External-tenant
-    noise on this shared VM comes in bursts; a bounded wait buys a clean
-    window far more often than it costs. (Instantaneous /proc/stat idle, not
-    loadavg — the 1-min loadavg stays inflated for a minute after our own
-    just-exited child and would make us wait for our own ghost.)"""
+    """Hold a child's launch until the box is mostly idle AND hypervisor
+    steal is quiet. External-tenant noise on this shared VM comes in bursts;
+    a bounded wait buys a clean window far more often than it costs.
+    (Instantaneous /proc/stat idle, not loadavg — the 1-min loadavg stays
+    inflated for a minute after our own just-exited child and would make us
+    wait for our own ghost. Steal is the co-tenant signature our own idle
+    gauge cannot see: our threads runnable, physical cores serving others.)"""
     t0 = time.monotonic()
     frac = _idle_frac()
-    while frac < min_idle and time.monotonic() - t0 < timeout:
+    while (frac < min_idle or _steal_frac_window() > 0.02) \
+            and time.monotonic() - t0 < timeout:
         time.sleep(3)
         frac = _idle_frac()
     return frac
