@@ -47,11 +47,73 @@ def pk_ranges(lo, hi, n: int) -> list[tuple]:
     return out
 
 
+def string_ranges(lo: str, hi: str, n: int, depth: int = 8) -> list[tuple]:
+    """String-pk split (SingleTableSplitUtil.java splitStringPk parity: the
+    reference maps min/max into big-integer space over the byte prefix and
+    splits equal-width; radix 256 here vs the reference's 128 — same
+    construction). Returns (lo, hi, is_last) string triples whose
+    lexicographic BETWEEN predicates partition [lo, hi]."""
+    if n <= 1 or lo >= hi:
+        return [(lo, hi, True)]
+
+    # split over the first DIFFERING bytes: keys sharing a long common
+    # prefix (every url starts "https://…") would otherwise collapse the
+    # byte window to a single value and yield one range
+    lb, hb = lo.encode("utf-8"), hi.encode("utf-8")
+    pre = 0
+    while pre < min(len(lb), len(hb)) and lb[pre] == hb[pre]:
+        pre += 1
+    prefix = lb[:pre]
+
+    def to_int(b: bytes) -> int:
+        return int.from_bytes(b[pre:pre + depth].ljust(depth, b"\x00"), "big")
+
+    def to_str(x: int) -> str:
+        return (prefix + x.to_bytes(depth, "big").rstrip(b"\x00")).decode(
+            "utf-8", "ignore")
+
+    il, ih = to_int(lb), to_int(hb)
+    cuts = []
+    for i in range(1, n):
+        c = to_str(il + (ih - il) * i // n)
+        if c and (not cuts or c > cuts[-1]) and lo < c <= hi:
+            cuts.append(c)
+    bounds = [lo, *cuts, hi]
+    return [
+        (bounds[i], bounds[i + 1], i == len(bounds) - 2)
+        for i in range(len(bounds) - 1)
+    ]
+
+
+def _sql_lit(v) -> str:
+    if isinstance(v, str):
+        return "'" + v.replace("'", "''") + "'"
+    return str(v)
+
+
 def _range_sql(table: str, columns: list[str], split_pk: str,
-               where: str | None, lo: int, hi: int, is_last: bool) -> str:
+               where: str | None, lo, hi, is_last: bool) -> str:
     cols = ", ".join(columns) if columns else "*"
-    upper = f"{split_pk} <= {hi}" if is_last else f"{split_pk} < {hi + 1}"
-    pred = f"{split_pk} >= {lo} AND {upper}"
+    if isinstance(lo, str) or isinstance(hi, str):
+        # half-open string ranges; the last range is closed on hi
+        upper = (f"{split_pk} <= {_sql_lit(hi)}" if is_last
+                 else f"{split_pk} < {_sql_lit(hi)}")
+        pred = f"{split_pk} >= {_sql_lit(lo)} AND {upper}"
+    else:
+        upper = f"{split_pk} <= {hi}" if is_last else f"{split_pk} < {hi + 1}"
+        pred = f"{split_pk} >= {lo} AND {upper}"
+    if where:
+        pred = f"({where}) AND {pred}"
+    return f"SELECT {cols} FROM {table} WHERE {pred}"
+
+
+def _mod_sql(table: str, columns: list[str], split_pk: str,
+             where: str | None, n: int, i: int) -> str:
+    """Modulo task predicate (`pk % n = i`) — the split DataX's
+    oceanbase/oracle readers use when a pk's range is too skewed for
+    equal-width bisection; standard `%` works on sqlite/MySQL/Postgres."""
+    cols = ", ".join(columns) if columns else "*"
+    pred = f"({split_pk} % {n}) = {i}"
     if where:
         pred = f"({where}) AND {pred}"
     return f"SELECT {cols} FROM {table} WHERE {pred}"
@@ -63,6 +125,9 @@ def read_dbapi(spark: SparkSession, p: dict) -> DataFrame:
 
     conf: connect (picklable callable -> DB-API connection), table,
     column? (list, default *), splitPk?, channel? (range count, default 4),
+    splitMode? ("range" default — equal-width over MIN/MAX, numeric OR
+    string pk (lexicographic byte-prefix split, splitStringPk parity);
+    "mod" — `pk % channel = i` per task, the skew-proof split),
     lowerBound?/upperBound? (skip the MIN/MAX probe), where?,
     schema? (Spark DDL; default: inferred from a driver-side LIMIT-0 probe's
     cursor.description + a small sample), fetchSize? (rows per Arrow batch),
@@ -96,19 +161,30 @@ def read_dbapi(spark: SparkSession, p: dict) -> DataFrame:
         cols_sql = ", ".join(columns) if columns else "*"
         cur.execute(f"SELECT {cols_sql} FROM {table} WHERE 1=0")
         colnames = [d[0] for d in cur.description]
-        if split_pk:
+        split_mode = p.get("splitMode", "range")  # "range" | "mod"
+        mod_n = None
+        if split_pk and split_mode == "mod":
+            mod_n = int(p.get("channel", 4))
+            ranges = None
+            lo = hi = None
+        elif split_pk:
             if p.get("lowerBound") is not None and p.get("upperBound") is not None:
-                lo, hi = int(p["lowerBound"]), int(p["upperBound"])
+                lo, hi = p["lowerBound"], p["upperBound"]
             else:
                 w = f" WHERE {where}" if where else ""
                 cur.execute(f"SELECT MIN({split_pk}), MAX({split_pk}) FROM {table}{w}")
                 lo, hi = cur.fetchone()
-            ranges = (
-                pk_ranges(lo, hi, int(p.get("channel", 4)))
-                if lo is not None else []
-            )
+            if lo is None:
+                ranges = []
+            elif isinstance(lo, str):
+                # non-numeric pk: lexicographic range split (reference
+                # splitStringPk construction — see string_ranges)
+                ranges = string_ranges(lo, hi, int(p.get("channel", 4)))
+            else:
+                ranges = pk_ranges(lo, hi, int(p.get("channel", 4)))
         else:
             ranges = None
+            lo = hi = None
         schema_ddl = p.get("schema")
         if not schema_ddl:
             # infer from a small sample (driver-side, bounded); explicit
@@ -117,7 +193,7 @@ def read_dbapi(spark: SparkSession, p: dict) -> DataFrame:
                 _range_sql(table, columns, split_pk, where, lo, hi, True)
                 if ranges else
                 (f"SELECT {cols_sql} FROM {table}" + (f" WHERE {where}" if where else ""))
-            )
+            )  # mod mode probes the whole table (no bounds exist)
             sample = cur.fetchmany(100)
             probe = spark.createDataFrame(
                 [tuple(r) for r in sample] or [tuple(None for _ in colnames)],
@@ -130,13 +206,15 @@ def read_dbapi(spark: SparkSession, p: dict) -> DataFrame:
     if ranges is not None and not ranges:  # empty table with a splitPk
         return spark.createDataFrame([], schema_ddl)
 
-    sqls = (
-        [_range_sql(table, columns, split_pk, where, lo_, hi_, last)
-         for lo_, hi_, last in ranges]
-        if ranges else
-        [f"SELECT {', '.join(columns) if columns else '*'} FROM {table}"
-         + (f" WHERE {where}" if where else "")]
-    )
+    if mod_n:
+        sqls = [_mod_sql(table, columns, split_pk, where, mod_n, i)
+                for i in range(mod_n)]
+    elif ranges:
+        sqls = [_range_sql(table, columns, split_pk, where, lo_, hi_, last)
+                for lo_, hi_, last in ranges]
+    else:
+        sqls = [f"SELECT {', '.join(columns) if columns else '*'} FROM {table}"
+                + (f" WHERE {where}" if where else "")]
     return _run_sqls(spark, connect, sqls, schema_ddl=schema_ddl,
                      colnames=colnames, fetch=fetch)
 

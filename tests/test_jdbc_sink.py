@@ -199,3 +199,45 @@ def test_dbapi_reader_querysql_mode(spark, sqlite_db):
     assert df.rdd.getNumPartitions() == 2  # one task per statement
     got = {r["k"]: r["v"] for r in df.collect()}
     assert got == {i: f"q{i}" for i in range(40)}
+
+
+def test_dbapi_reader_string_pk_and_mod_split(spark, sqlite_db):
+    """Round-4 split parity: (a) string splitPk — lexicographic byte-prefix
+    range split (SingleTableSplitUtil splitStringPk construction), every row
+    read exactly once across tasks; (b) splitMode='mod' — `pk % n = i` task
+    predicates, the skew-proof split."""
+    from datax_3_0_0_src_spark.sources import read_source
+    from datax_3_0_0_src_spark.sources.dbapi import string_ranges
+
+    con = sqlite3.connect(DB_PATH)
+    con.execute("CREATE TABLE spages (u TEXT PRIMARY KEY, v INTEGER)")
+    urls = [f"https://site-{i:04d}.example/p{i}" for i in range(300)]
+    con.executemany("INSERT INTO spages VALUES (?, ?)",
+                    [(u, i) for i, u in enumerate(urls)])
+    con.commit()
+    con.close()
+
+    # pure splitter: ranges tile [lo, hi] without overlap, in order
+    rs = string_ranges("aaa", "zzz", 4)
+    assert rs[0][0] == "aaa" and rs[-1][1] == "zzz" and rs[-1][2]
+    for (l1, h1, _), (l2, _h2, _2) in zip(rs, rs[1:]):
+        assert l1 < h1 and h1 == l2
+
+    df = read_source(spark, {"name": "rdbms", "parameter": {
+        "connect": _connect, "table": "spages", "splitPk": "u", "channel": 4,
+    }})
+    assert df.rdd.getNumPartitions() >= 2  # string range split really split
+    got = {r["u"]: r["v"] for r in df.collect()}
+    assert got == {u: i for i, u in enumerate(urls)}  # exactly once
+
+    mod = read_source(spark, {"name": "rdbms", "parameter": {
+        "connect": _connect, "table": "pages", "splitPk": "k",
+        "splitMode": "mod", "channel": 3, "schema": "k bigint, v string",
+    }})
+    assert mod.rdd.getNumPartitions() == 3
+    con = sqlite3.connect(DB_PATH)
+    con.executemany("INSERT INTO pages VALUES (?, ?)",
+                    [(i, f"v{i}") for i in range(100)])
+    con.commit()
+    con.close()
+    assert {r["k"] for r in mod.collect()} == set(range(100))
