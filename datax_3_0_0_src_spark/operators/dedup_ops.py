@@ -297,3 +297,62 @@ def simhash(df: DataFrame, *, id_col: str = "doc_id", text_col: str = "text", bi
     for bv in bit_vals[1:]:
         sim = sim + bv
     return df.select(F.col(id_col), sim.alias("simhash"))
+
+
+def connected_components(
+    edges: DataFrame,
+    *,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iters: int = 20,
+) -> DataFrame:
+    """Connected components over an undirected edge list — the cluster step
+    of a near-dup dedup pipeline (candidate pairs -> duplicate GROUPS; every
+    member maps to the component's minimum id, the canonical doc).
+
+    Min-label propagation: each round every node adopts the smallest label
+    among itself and its neighbors (one shuffle per round, map-side
+    combined); convergence in O(component diameter) rounds — near-dup
+    clusters are shallow (pairs all share shingles), so 2-3 rounds is
+    typical and ``max_iters`` is a backstop, checked with a count per round.
+    At 10^10-node scale the alternating large-star/small-star formulation
+    halves the round count; diameter-bounded label propagation is chosen
+    here for plan simplicity (each round is whole-stage-codegen'd
+    join+groupBy, no UDFs).
+    """
+    # materialize the edge set and each round's labels (localCheckpoint
+    # truncates lineage): without it round k re-evaluates the whole upstream
+    # pipeline (LSH banding, Jaccard verify, ...) k times over — at any
+    # scale, iterative graph steps persist their frontier between supersteps
+    both = (
+        edges.select(F.col(src).alias("n"), F.col(dst).alias("m"))
+        .union(edges.select(F.col(dst).alias("n"), F.col(src).alias("m")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        both.select("n").distinct()
+        .withColumn("label", F.col("n"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iters):
+        neigh = (
+            both.alias("e")
+            .join(labels.alias("l"), F.col("e.m") == F.col("l.n"), "inner")
+            .select(F.col("e.n").alias("n"), F.col("l.label").alias("label"))
+        )
+        new = (
+            labels.select("n", "label").union(neigh)
+            .groupBy("n").agg(F.min("label").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new.alias("x")
+            .join(labels.alias("y"), "n")
+            .filter(F.col("x.label") != F.col("y.label"))
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    return labels.select(F.col("n").alias("node"), F.col("label").alias("component"))

@@ -1004,6 +1004,126 @@ FROM documents
 """
 
 
+def doc_url_canonical(spark, sf_dir):
+    """URL canonicalization (round-4): messy doc-derived URLs — mixed-case
+    scheme/host, default and non-default ports, unsorted query params,
+    fragments — normalized by the engine's pure-Column canonicalizer
+    (operators.urls). The DuckDB twin builds the SAME messy url from doc_id
+    and canonicalizes it with an INDEPENDENT SQL implementation, so any rule
+    divergence breaks the hash."""
+    from .operators.urls import canonicalize_url
+
+    d = F.col("doc_id")
+    scheme = F.when(d % 2 == 0, F.lit("HTTP")).otherwise(F.lit("https"))
+    host = F.concat(F.lit("WWW.Site-"), (d % 50).cast("string"),
+                    F.lit(".Example.COM"))
+    port = (F.when(d % 4 == 0, F.lit(":80"))
+            .when(d % 4 == 1, F.lit(":443"))
+            .when(d % 4 == 2, F.lit(""))
+            .otherwise(F.lit(":8080")))
+    path = (F.when(d % 3 == 0, F.lit(""))
+            .when(d % 3 == 1, F.concat(F.lit("/a/"), d.cast("string")))
+            .otherwise(F.lit("/p")))
+    query = F.when(
+        d % 6 == 0,
+        F.concat(F.lit("?z="), (d % 7).cast("string"),
+                 F.lit("&m=1&a="), (d % 5).cast("string")),
+    ).otherwise(
+        F.concat(F.lit("?z="), (d % 7).cast("string"),
+                 F.lit("&a="), (d % 5).cast("string")))
+    frag = F.when(d % 2 == 0, F.concat(F.lit("#Frag"), d.cast("string"))
+                  ).otherwise(F.lit(""))
+    messy = F.concat(scheme, F.lit("://"), host, port, path, query, frag)
+    docs = _t(spark, sf_dir, "documents").select("doc_id", messy.alias("url"))
+    return docs.select("doc_id", "url",
+                       canonicalize_url(F.col("url")).alias("canonical_url"))
+
+
+DOC_URL_CANONICAL_SQL = """
+WITH m AS (
+  SELECT doc_id,
+    (CASE WHEN doc_id % 2 = 0 THEN 'HTTP' ELSE 'https' END)
+    || '://WWW.Site-' || CAST(doc_id % 50 AS VARCHAR) || '.Example.COM'
+    || (CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN ':80' WHEN 1 THEN ':443'
+             WHEN 2 THEN '' ELSE ':8080' END)
+    || (CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN ''
+             WHEN 1 THEN '/a/' || CAST(doc_id AS VARCHAR) ELSE '/p' END)
+    || (CASE WHEN doc_id % 6 = 0
+             THEN '?z=' || CAST(doc_id % 7 AS VARCHAR) || '&m=1&a='
+                  || CAST(doc_id % 5 AS VARCHAR)
+             ELSE '?z=' || CAST(doc_id % 7 AS VARCHAR) || '&a='
+                  || CAST(doc_id % 5 AS VARCHAR) END)
+    || (CASE WHEN doc_id % 2 = 0
+             THEN '#Frag' || CAST(doc_id AS VARCHAR) ELSE '' END) AS url
+  FROM documents
+),
+parts AS (
+  SELECT doc_id, url,
+    lower(regexp_extract(url, '^([^:/?#]+)://', 1)) AS scheme,
+    lower(regexp_extract(regexp_extract(url, '^[^:/?#]+://([^/?#]*)', 1),
+                         '^([^:]*)', 1)) AS host,
+    regexp_extract(regexp_extract(url, '^[^:/?#]+://([^/?#]*)', 1),
+                   ':([0-9]+)$', 1) AS port,
+    regexp_extract(url, '^[^:/?#]+://[^/?#]*([^?#]*)', 1) AS path,
+    regexp_extract(url, '\\?([^#]*)', 1) AS query
+  FROM m
+)
+SELECT doc_id, url,
+  scheme || '://' || host
+  || (CASE WHEN port = '' OR (scheme = 'http' AND port = '80')
+                OR (scheme = 'https' AND port = '443')
+           THEN '' ELSE ':' || port END)
+  || (CASE WHEN path = '' THEN '/' ELSE path END)
+  || (CASE WHEN query = '' THEN ''
+           ELSE '?' || array_to_string(list_sort(string_split(query, '&')), '&')
+      END) AS canonical_url
+FROM parts
+"""
+
+
+def doc_dedup_groups(spark, sf_dir):
+    """Near-dup GROUPS (round-4): the LSH candidate pairs collapsed into
+    duplicate clusters via connected components (min-label propagation,
+    pure join+groupBy rounds); every document maps to its component's
+    minimum doc_id — the canonical copy a 100 TB dedup pass would keep.
+    The DuckDB twin computes the same transitive closure with a recursive
+    CTE over the identical pair set."""
+    pairs = dedup_ops.minhash_lsh_pairs(
+        _t(spark, sf_dir, "documents"), k=8, bands=4, shingle_n=2,
+        jaccard_threshold=0.2,
+    )
+    cc = dedup_ops.connected_components(pairs)
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    return (
+        docs.join(cc, docs["doc_id"] == cc["node"], "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("component"), F.col("doc_id")).alias("group_id"),
+            (F.coalesce(F.col("component"), F.col("doc_id"))
+             == F.col("doc_id")).alias("is_canonical"),
+        )
+    )
+
+
+DOC_DEDUP_GROUPS_SQL = f"""
+WITH RECURSIVE p AS (SELECT id_a, id_b FROM ({DOC_MINHASH_LSH_SQL}) lsh),
+edges AS (SELECT id_a AS s, id_b AS d FROM p
+          UNION SELECT id_b, id_a FROM p),
+reach AS (
+  SELECT s AS node, d AS r FROM edges
+  UNION
+  SELECT reach.node, edges.d FROM reach JOIN edges ON reach.r = edges.s
+),
+comp AS (
+  SELECT node, LEAST(node, MIN(r)) AS group_id FROM reach GROUP BY node
+)
+SELECT d.doc_id,
+       COALESCE(comp.group_id, d.doc_id) AS group_id,
+       (COALESCE(comp.group_id, d.doc_id) = d.doc_id) AS is_canonical
+FROM documents d LEFT JOIN comp ON comp.node = d.doc_id
+"""
+
+
 def multimodal_features(spark, sf_dir):
     """REAL media content decode, hash-verified (round-3 verdict item 2):
     even doc_ids get a complete gray PNG (zlib-compressed IDAT, per-scanline
@@ -1110,6 +1230,8 @@ QUERIES: dict[str, Query] = {
     "doc_simhash_near_pairs": doc_simhash_near_pairs,
     "doc_ngram_jaccard": doc_ngram_jaccard,
     "doc_minhash_lsh_pairs": doc_minhash_lsh_pairs,
+    "doc_dedup_groups": doc_dedup_groups,
+    "doc_url_canonical": doc_url_canonical,
     "emb_cosine_topk": emb_cosine_topk,
     "emb_ivf_topk": emb_ivf_topk,
     "emb_ivf_topk_big": emb_ivf_topk_big,
@@ -1143,6 +1265,8 @@ ORACLES: dict[str, str] = {
     "doc_simhash_near_pairs": DOC_SIMHASH_PAIRS_SQL,
     "doc_ngram_jaccard": DOC_NGRAM_JACCARD_SQL,
     "doc_minhash_lsh_pairs": DOC_MINHASH_LSH_SQL,
+    "doc_dedup_groups": DOC_DEDUP_GROUPS_SQL,
+    "doc_url_canonical": DOC_URL_CANONICAL_SQL,
     "emb_cosine_topk": EMB_COSINE_TOPK_SQL,
     "emb_ivf_topk": EMB_IVF_SQL,
     "emb_ivf_topk_big": EMB_IVF_BIG_SQL,

@@ -295,3 +295,43 @@ def test_ivf_lloyd_refinement_balances_skewed_seeds(spark):
 
     assert max_share(seed_assign) > 0.45          # skewed seeds really skew
     assert max_share(expected) < 0.30             # refinement rebalances
+
+
+def test_connected_components_chain_and_isolated(spark):
+    """Min-label propagation: transitive chains collapse to the minimum id,
+    disjoint components stay apart, convergence before max_iters."""
+    from datax_3_0_0_src_spark.operators.dedup_ops import connected_components
+
+    edges = spark.createDataFrame(
+        [(5, 9), (9, 12), (12, 40), (7, 8), (100, 101)],
+        "id_a long, id_b long",
+    )
+    got = {r["node"]: r["component"]
+           for r in connected_components(edges).collect()}
+    assert got == {5: 5, 9: 5, 12: 5, 40: 5, 7: 7, 8: 7, 100: 100, 101: 100}
+
+
+def test_url_canonicalize_rules(spark):
+    """Pinned canonicalization cases: scheme/host lowercase, default-port
+    strip, fragment drop, query sort, empty path -> '/'."""
+    from datax_3_0_0_src_spark.operators.urls import with_canonical_url
+
+    cases = [
+        ("HTTP://WWW.Example.COM:80", "http://www.example.com/"),
+        ("https://Site.org:443/a?b=2&a=1#frag", "https://site.org/a?a=1&b=2"),
+        ("https://site.org:8080/p", "https://site.org:8080/p"),
+        ("http://h.example/x/y?z=3", "http://h.example/x/y?z=3"),
+        ("http://h.example?m=1&a=9&k=0#f", "http://h.example/?a=9&k=0&m=1"),
+    ]
+    df = spark.createDataFrame([(i, u) for i, (u, _) in enumerate(cases)],
+                               "i long, url string")
+    got = {r["i"]: r["canonical_url"]
+           for r in with_canonical_url(df).collect()}
+    for i, (_, want) in enumerate(cases):
+        assert got[i] == want, (i, got[i], want)
+    # idempotent: canonical(canonical(u)) == canonical(u)
+    df2 = spark.createDataFrame(
+        [(i, c) for i, c in got.items()], "i long, url string")
+    again = {r["i"]: r["canonical_url"]
+             for r in with_canonical_url(df2).collect()}
+    assert again == got
