@@ -31,6 +31,7 @@ from __future__ import annotations
 import json
 import os
 import re
+import uuid
 import time
 from dataclasses import dataclass, field, replace
 
@@ -953,7 +954,7 @@ class Replayer:
         q = self.cfg.quarantine_dir
         if not glob.glob(
             os.path.join(q, "slice=*", f"{SYS_BUCKET}=*", "*.parquet")
-        ) and not glob.glob(os.path.join(q, "slice=*", "part-*.parquet")):
+        ) and not glob.glob(os.path.join(q, "slice=*", "*.parquet")):
             return self.spark.createDataFrame(
                 [], "log_offset long, epoch int, url string, reason string, "
                     "raw_payload binary, slice string, bucket int"
@@ -965,6 +966,82 @@ class Replayer:
         if SYS_BUCKET in df.columns:
             df = df.withColumnRenamed(SYS_BUCKET, "bucket")
         return df.withColumn("bucket", F.col("bucket").cast("int"))
+
+    def fold_quarantine(self, *, concurrency: int = 4) -> dict:
+        """Fold each quarantine slice's many per-task dirty files into one
+        (round-3 verdict watch item: the fused stage writes one small file
+        per task-with-dirty-rows per slice — at 10^5 tasks/slice that is
+        10^5 tiny audit files; this is the offline fold that bounds it).
+
+        Driver-side pyarrow — quarantine data is small by construction
+        (dirty rows are the exception) and slices are independent, so a
+        thread pool covers the sandbox and the same per-slice fold could be
+        shipped to executors unchanged at larger audit volumes. Stats
+        sidecars (``_stats``) are left untouched (read per batch by name).
+
+        Crash-safe without transactions: per slice, (1) write the folded
+        file to a tmp name, (2) atomically write a ``_fold-G.json`` marker
+        listing the consumed inputs, (3) rename tmp into place, (4) delete
+        the inputs, (5) delete the marker. Recovery on the next call
+        completes an interrupted fold from the marker instead of re-reading
+        a mix of folded and unfolded files (which would duplicate rows).
+        """
+        import glob as _glob
+        from concurrent.futures import ThreadPoolExecutor
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        def leaf_dirs() -> list[str]:
+            out = []
+            for s in _glob.glob(os.path.join(self.cfg.quarantine_dir, "slice=*")):
+                subs = [d for d in _glob.glob(os.path.join(s, f"{SYS_BUCKET}=*"))
+                        if os.path.isdir(d)]
+                out.extend(subs if subs else [s])
+            return out
+
+        def recover(d: str) -> None:
+            for marker in _glob.glob(os.path.join(d, "_fold-*.json")):
+                gen = os.path.basename(marker)[6:-5]
+                dst = os.path.join(d, f"folded-{gen}.parquet")
+                tmp = dst + ".tmp"
+                if not os.path.exists(dst) and os.path.exists(tmp):
+                    os.replace(tmp, dst)
+                if os.path.exists(dst):
+                    for fn in json.load(open(marker)):
+                        p = os.path.join(d, fn)
+                        if os.path.exists(p):
+                            os.unlink(p)
+                else:  # crashed before the tmp write finished: restart clean
+                    if os.path.exists(tmp):
+                        os.unlink(tmp)
+                os.unlink(marker)
+
+        def fold_dir(d: str) -> int:
+            recover(d)
+            files = sorted(f for f in os.listdir(d) if f.endswith(".parquet"))
+            if len(files) <= 1:
+                return 0
+            t = pa.concat_tables(
+                [pq.read_table(os.path.join(d, f)) for f in files],
+                promote_options="permissive")
+            gen = uuid.uuid4().hex[:8]
+            dst = os.path.join(d, f"folded-{gen}.parquet")
+            pq.write_table(t, dst + ".tmp")
+            _atomic_write(os.path.join(d, f"_fold-{gen}.json"),
+                          json.dumps(files), exclusive=False)
+            os.replace(dst + ".tmp", dst)
+            for f in files:
+                os.unlink(os.path.join(d, f))
+            os.unlink(os.path.join(d, f"_fold-{gen}.json"))
+            return len(files)
+
+        dirs = leaf_dirs()
+        with ThreadPoolExecutor(max_workers=max(1, concurrency)) as pool:
+            folded = list(pool.map(fold_dir, dirs))
+        return {"slices_scanned": len(dirs),
+                "slices_folded": sum(1 for n in folded if n),
+                "files_removed": sum(max(0, n - 1) for n in folded)}
 
     def requeue_quarantined(self, *, epochs: list[int] | None = None) -> list[dict]:
         """Reprocess quarantined rows through the SAME fused pipeline after a
