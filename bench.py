@@ -386,16 +386,18 @@ def main() -> None:
     pairs: list[dict] = []  # same-window (CPUS, small) adjacent-pair records
     n_events = dict.fromkeys(times, 0)
 
-    def run_pair(rep: int) -> None:
-        # fold timing only on the first pair: later reps skip the compaction
-        # so each child's sustained-load stretch stays short (this VM
-        # degrades under long full-load runs; shorter children = cleaner
-        # apply samples), and a cooldown lets it recover between children
+    def run_pair(rep: int, fold: bool | None = None) -> None:
+        # fold timing on the first pair only (later planned reps skip the
+        # compaction so each child's sustained-load stretch stays short —
+        # this VM degrades under long full-load runs) ... EXCEPT replacement
+        # pairs, which re-time it: extras trigger precisely when rep 0 was
+        # contaminated, and rep 0 is otherwise the fold's only sample
+        fold = (rep == 0) if fold is None else fold
         rep_dt: dict[int, float] = {}
         for cores in (CPUS, small) if rep else list(reversed(levels)):
-            dt, dt_fold, n, noise = replay_subprocess(cores, do_fold=(rep == 0))
+            dt, dt_fold, n, noise = replay_subprocess(cores, do_fold=fold)
             times[cores].append(dt)
-            if rep == 0:
+            if fold:
                 times_fold[cores].append(dt + dt_fold)
             loads[cores].append(noise)
             rep_dt[cores] = dt
@@ -431,7 +433,7 @@ def main() -> None:
     while flag_contamination() < min(2, REPS) and extra < int(
             os.environ.get("BENCH_MAX_EXTRA_PAIRS", "2")):
         extra += 1
-        run_pair(rep=1)  # large-then-small, same as later planned reps
+        run_pair(rep=1, fold=True)  # large-then-small; fold re-timed
     flag_contamination()
 
     def best_clean(vals: list[float], noises: list[dict]) -> float:
