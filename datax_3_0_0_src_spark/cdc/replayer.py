@@ -108,6 +108,11 @@ class ReplayConfig:
     compact_target_files: int = 2      # files/bucket after a fold
     compact_concurrency: int = 1       # parallel bucket-group folds (lake.compact)
     compact_strategy: str = "shuffle"  # "shuffle" | "local" (zero-exchange pyarrow fold)
+    # parquet codec for delta/base/fold files this job writes ("snappy" |
+    # "zstd" | ...): zstd shrinks the bytes the memory-bandwidth-bound fold
+    # must re-read/re-write (~35% in the round-5 A/B) for a small compress-CPU
+    # premium on the apply; readers are codec-agnostic (parquet self-describes)
+    file_compression: str = "snappy"
     batch_timeout_s: float | None = None   # F13: cancel a wedged batch (watchdog)
     report_interval_s: float | None = None  # F11: periodic counter reporting
     report_sink: object = None              # callable(str); default print
@@ -209,6 +214,7 @@ class Replayer:
                 num_buckets=cfg.num_buckets,
                 properties=dict(cfg.extra_table_props),
             )
+        self.table.compression = cfg.file_compression
 
     # ------------------------------------------------------------- planning
     def log_epochs(self) -> list[int]:
@@ -1089,11 +1095,25 @@ class Replayer:
                     os.path.join(cfg.quarantine_dir, f"slice={epoch}-*"))
                 if os.path.isdir(d)
             )
-            gen = 1 + sum(
-                1 for d in old_slices if f"slice={epoch}-rq" in os.path.basename(d))
+            # strictly-increasing generation: COUNTING rq dirs collides after
+            # a cleanup (pass 2 writes rq2 + deletes rq1; a count-based pass
+            # 3 would recompute gen=2 and rmtree its own input rq2 below
+            # before the semi-join reads it — caught by the 3-pass
+            # fold/requeue interleave soak)
+            import re as _re
+
+            gens = [int(m.group(1)) for d in old_slices
+                    if (m := _re.search(r"-rq(\d+)$", os.path.basename(d)))]
+            gen = max(gens, default=0) + 1
             # fresh read per epoch: the parquet file index is resolved at
             # DataFrame creation, and the previous iteration deleted its
-            # epoch's slice dirs — a stale index would scan missing files
+            # epoch's slice dirs — a stale index would scan missing files.
+            # refreshByPath drops the SESSION-level FileStatusCache entries
+            # too: without it a listing cached by an earlier pass (or an
+            # earlier epoch's offs scan) can resurface files the cleanup
+            # below already removed and fail the scan with FILE_NOT_EXIST
+            # (observed on the 3rd fold+requeue interleave pass)
+            self.spark.catalog.refreshByPath(cfg.quarantine_dir)
             offs = (
                 self.quarantine()
                 .filter(F.col("log_offset").isNotNull()
@@ -1126,8 +1146,37 @@ class Replayer:
                   sstats["events_read"] - sstats["n_dirty"] - applied,
                   sstats["n_dirty"], sstats["bytes_in"], dur_ms)],
                 epoch, f"rq{gen}")
+            # Drop the epoch's previous slices — EXCEPT rows whose
+            # log_offset is null (foreign WALs): those were filtered out of
+            # the requeue above and must stay quarantined, so each old slice
+            # is rewritten in place to keep only its null-offset rows (file
+            # deleted when none remain, dir deleted when empty). Idempotent:
+            # re-running the filter is a no-op, so a crash mid-cleanup just
+            # resumes. ``_stats`` sidecars of retained slices stay (audit).
+            import pyarrow.compute as _pc
+            import pyarrow.parquet as _pq
+
+            from .fused import _atomic_parquet as _atomic_pq
+
             for d in old_slices:
-                shutil.rmtree(d, ignore_errors=True)
+                kept = 0
+                for pf in sorted(
+                    _glob.glob(os.path.join(d, "*.parquet"))
+                    + _glob.glob(os.path.join(d, "*", "*.parquet"))
+                ):
+                    t = _pq.read_table(pf)
+                    if "log_offset" not in t.column_names:
+                        os.remove(pf)
+                        continue
+                    nulls = t.filter(_pc.is_null(t.column("log_offset")))
+                    if nulls.num_rows == 0:
+                        os.remove(pf)
+                    else:
+                        if nulls.num_rows < t.num_rows:
+                            _atomic_pq(nulls, pf)
+                        kept += nulls.num_rows
+                if kept == 0:
+                    shutil.rmtree(d, ignore_errors=True)
             results.append({
                 "epoch": epoch, "generation": gen,
                 "events_requeued": sstats["events_read"],

@@ -76,6 +76,14 @@ class LakeTable:
     def __init__(self, spark: SparkSession, path: str):
         self.spark = spark
         self.path = path
+        # Parquet codec for files THIS writer produces (deltas, COW bases,
+        # fold output). Readers never consult it — parquet files are
+        # self-describing, so a table can mix codecs across generations.
+        # zstd trades ~15-25% extra compress CPU for ~30-40% smaller files;
+        # on a RAM-backed (page-cached) store the fold is memory-bandwidth-
+        # bound, so smaller bytes-on-disk is the lever that speeds it up
+        # (round-4 verdict item 2 A/B; see BENCH.md).
+        self.compression = "snappy"
 
     # ------------------------------------------------------------- lifecycle
     @classmethod
@@ -374,7 +382,7 @@ class LakeTable:
         # crashed attempt's dir likewise never collides with the retry's
         rel_dir = f"data/v{version:08d}-{uuid.uuid4().hex[:8]}"
         out_dir = os.path.join(self.path, rel_dir)
-        (merged.write.mode("errorifexists").partitionBy(SYS_BUCKET).parquet(out_dir))
+        (merged.write.option("compression", self.compression).mode("errorifexists").partitionBy(SYS_BUCKET).parquet(out_dir))
 
         written = self._written_buckets(out_dir, rel_dir)
         stray = sorted(set(written) - set(touched))
@@ -466,7 +474,7 @@ class LakeTable:
             F.col(SYS_BUCKET),
             F.pmod(F.xxhash64(F.col(key)), F.lit(write_salt)),
         )
-        s.write.mode("errorifexists").partitionBy(SYS_BUCKET).parquet(out_dir)
+        s.write.option("compression", self.compression).mode("errorifexists").partitionBy(SYS_BUCKET).parquet(out_dir)
         laps["write_job"] = _time.monotonic() - _t
         _t = _time.monotonic()
 
@@ -546,7 +554,7 @@ class LakeTable:
         version = snap.version + 1
         rel_dir = f"data/v{version:08d}-{uuid.uuid4().hex[:8]}"  # see merge()
         out_dir = os.path.join(self.path, rel_dir)
-        out.write.mode("errorifexists").partitionBy(SYS_BUCKET).parquet(out_dir)
+        out.write.option("compression", self.compression).mode("errorifexists").partitionBy(SYS_BUCKET).parquet(out_dir)
         new_files = {b: list(fs) for b, fs in snap.files.items()}
         n_new = 0
         for b, fs in self._written_buckets(out_dir, rel_dir).items():
@@ -677,7 +685,7 @@ class LakeTable:
         df = df.drop("_salt")
         rel_dir = f"data/c{snap.version + 1:08d}-{uuid.uuid4().hex[:8]}"  # unique, never contended
         out_dir = os.path.join(self.path, rel_dir)
-        df.write.mode("errorifexists").partitionBy(SYS_BUCKET).parquet(out_dir)
+        df.write.option("compression", self.compression).mode("errorifexists").partitionBy(SYS_BUCKET).parquet(out_dir)
         written = self._written_buckets(out_dir, rel_dir)
         return self._commit_fold(todo, folded_files, folded_deltas, written)
 
@@ -718,6 +726,7 @@ class LakeTable:
         rel_dir = f"data/c{snap.version + 1:08d}-{uuid.uuid4().hex[:8]}"
         out_root = os.path.join(self.path, rel_dir)
         table_path = self.path
+        codec = self.compression  # plain string — picklable into the fold task
         n_out = max(1, int(target_files_per_bucket))
 
         specs = [
@@ -843,7 +852,7 @@ class LakeTable:
                                     names.append(name)
                                     writer = pq.ParquetWriter(
                                         os.path.join(d, name), target,
-                                        compression="snappy",
+                                        compression=codec,
                                     )
                                 room = per - (written % per) if per else len(t)
                                 chunk = t.slice(pos, room)

@@ -221,6 +221,10 @@ def decode_png(b: bytes) -> "np.ndarray | None":
             h = int.from_bytes(data[4:8], "big")
             depth, ct, interlace = data[8], data[9], data[12]
         elif typ == b"PLTE":
+            # RFC 2083 §4.1.2: length must be divisible by 3; a corrupt
+            # chunk is dirty data, not a crash (round-4 advice item)
+            if ln == 0 or ln % 3 != 0:
+                return None
             plte = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
         elif typ == b"IDAT":
             idat += data
@@ -237,41 +241,81 @@ def decode_png(b: bytes) -> "np.ndarray | None":
     stride = w * ch
     if len(raw) < h * (stride + 1):
         return None
-    out = np.empty((h, stride), dtype=np.uint8)
-    prev = np.zeros(stride, dtype=np.uint8)
-    pos = 0
-    for y in range(h):
-        ft = raw[pos]
-        line = np.frombuffer(raw, np.uint8, count=stride, offset=pos + 1).copy()
-        pos += 1 + stride
-        if ft == 0:
-            rec = line
-        elif ft == 2:  # Up — fully vectorized (uint8 add wraps mod 256)
-            rec = line + prev
-        elif ft == 1:  # Sub: recon[i] = raw[i] + recon[i-ch]
-            rec = line
-            for i2 in range(ch, stride):
-                rec[i2] = (int(rec[i2]) + int(rec[i2 - ch])) & 0xFF
-        elif ft == 3:  # Average
-            rec = line
-            for i2 in range(stride):
-                left = int(rec[i2 - ch]) if i2 >= ch else 0
-                rec[i2] = (int(rec[i2]) + ((left + int(prev[i2])) >> 1)) & 0xFF
-        elif ft == 4:  # Paeth
-            rec = line
-            for i2 in range(stride):
-                a = int(rec[i2 - ch]) if i2 >= ch else 0
-                up = int(prev[i2])
-                c = int(prev[i2 - ch]) if i2 >= ch else 0
-                p = a + up - c
-                pa, pb, pc = abs(p - a), abs(p - up), abs(p - c)
-                pred = a if (pa <= pb and pa <= pc) else (up if pb <= pc else c)
-                rec[i2] = (int(rec[i2]) + pred) & 0xFF
-        else:
-            return None
-        out[y] = rec
-        prev = rec
-    px = out.reshape(h, w, ch)
+    # Unfilter (round-4 verdict item 3: the per-byte Python loops are gone).
+    # Every RFC 2083 filter's dependencies are (x-1,y), (x,y-1), (x-1,y-1)
+    # at PIXEL granularity (left offset = one pixel for depth 8), so:
+    # - rows using only None/Sub/Up unfilter row-at-a-time fully vectorized
+    #   (Sub is a per-channel prefix sum: uint8 cumsum wraps mod 256);
+    # - any Average/Paeth row switches the whole image to an ANTI-DIAGONAL
+    #   wavefront: pixels on diagonal t = x+y depend only on diagonals t-1
+    #   and t-2, so each of the h+w-1 diagonals is one vectorized step with
+    #   a zero border standing in for the out-of-bounds neighbors.
+    arr = np.frombuffer(raw, np.uint8, count=h * (stride + 1)).reshape(
+        h, stride + 1)
+    fts = arr[:, 0]
+    if fts.max() > 4:
+        return None
+    if not np.any((fts == 3) | (fts == 4)):
+        out = np.empty((h, stride), dtype=np.uint8)
+        prev = np.zeros(stride, dtype=np.uint8)
+        for y in range(h):
+            line = arr[y, 1:]
+            ft = fts[y]
+            if ft == 0:
+                rec = line
+            elif ft == 2:  # Up (uint8 add wraps mod 256)
+                rec = line + prev
+            else:  # Sub: recon[i] = raw[i] + recon[i-ch] == channel cumsum
+                rec = np.cumsum(line.reshape(w, ch), axis=0,
+                                dtype=np.uint8).reshape(stride)
+            out[y] = rec
+            prev = rec
+        px = out.reshape(h, w, ch)
+    else:
+        # SKEWED storage: diagonal t lives at D[t+2], image row y at column
+        # y+1, so the left/up/upper-left neighbors of diagonal t are plain
+        # contiguous SLICES of diagonals t-1 / t-2 (views — no per-step
+        # gather/scatter; the zero padding rows/planes stand in for the
+        # out-of-bounds neighbors). One skew pass before, one unskew after.
+        T = h + w - 1
+        lines = arr[:, 1:].reshape(h, w, ch)
+        Ld = np.zeros((T, h, ch), np.int16)
+        for y in range(h):
+            Ld[y:y + w, y] = lines[y]
+        D = np.zeros((T + 2, h + 2, ch), np.int16)
+        uniform = int(fts[0]) if (fts == fts[0]).all() else -1
+        masks = {k: (fts == k)[:, None].astype(np.int16) for k in (1, 2, 3, 4)} \
+            if uniform < 0 else {}
+        # prefix count of Paeth rows: diagonals whose row range has none
+        # skip the 9-op Paeth predictor entirely
+        n4 = np.concatenate(([0], np.cumsum(fts == 4)))
+        for t in range(T):
+            y0, y1 = max(0, t - w + 1), min(h - 1, t)
+            a = D[t + 1, y0 + 1:y1 + 2]   # left        (x-1, y) -> diag t-1
+            b = D[t + 1, y0:y1 + 1]       # up          (x, y-1) -> diag t-1
+            c = D[t, y0:y1 + 1]           # upper-left  (x-1, y-1) -> diag t-2
+            has4 = n4[y1 + 1] > n4[y0]
+            if has4:  # Paeth predictor (|p-a|=|b-c| etc. shortcut)
+                pa, pb = np.abs(b - c), np.abs(a - c)
+                pc = np.abs(a + b - 2 * c)
+                paeth = np.where((pa <= pb) & (pa <= pc), a,
+                                 np.where(pb <= pc, b, c))
+            if uniform == 4:
+                pred = paeth
+            elif uniform == 3:
+                pred = (a + b) >> 1
+            else:
+                # arithmetic 0/1-mask blend — cheaper than np.select's
+                # broadcasting machinery on these small per-diagonal views
+                f = slice(y0, y1 + 1)
+                pred = (a * masks[1][f] + b * masks[2][f]
+                        + ((a + b) >> 1) * masks[3][f])
+                if has4:
+                    pred += paeth * masks[4][f]
+            D[t + 2, y0 + 1:y1 + 2] = (Ld[t, y0:y1 + 1] + pred) & 0xFF
+        px = np.empty((h, w, ch), np.uint8)
+        for y in range(h):
+            px[y] = D[y + 2:y + w + 2, y + 1]
     if ct == 3:  # palette lookup -> RGB
         if plte is None or int(px.max()) >= len(plte):
             return None

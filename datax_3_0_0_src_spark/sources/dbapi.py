@@ -21,6 +21,7 @@ exactly like numPartitions in the native source.
 
 from __future__ import annotations
 
+import os
 from collections.abc import Iterator
 
 import pandas as pd
@@ -52,7 +53,16 @@ def string_ranges(lo: str, hi: str, n: int, depth: int = 8) -> list[tuple]:
     reference maps min/max into big-integer space over the byte prefix and
     splits equal-width; radix 256 here vs the reference's 128 — same
     construction). Returns (lo, hi, is_last) string triples whose
-    lexicographic BETWEEN predicates partition [lo, hi]."""
+    lexicographic BETWEEN predicates partition [lo, hi].
+
+    COLLATION CONTRACT: the cut points are UTF-8 *byte*-order values, so
+    the server-side comparisons must use a binary collation (MySQL:
+    ``*_bin`` column collation or compare via ``BINARY pk``; Postgres:
+    ``COLLATE "C"``; SQLite: default BINARY — fine). Under a
+    case/accent-insensitive collation (MySQL's default ``utf8mb4_*_ci``)
+    the byte cuts are non-monotone server-side and ranges can overlap or
+    miss rows — use ``splitMode="mod"`` there instead (round-4 advice
+    item; same caveat applies to the reference's splitStringPk)."""
     if n <= 1 or lo >= hi:
         return [(lo, hi, True)]
 
@@ -109,11 +119,16 @@ def _range_sql(table: str, columns: list[str], split_pk: str,
 
 def _mod_sql(table: str, columns: list[str], split_pk: str,
              where: str | None, n: int, i: int) -> str:
-    """Modulo task predicate (`pk % n = i`) — the split DataX's
-    oceanbase/oracle readers use when a pk's range is too skewed for
-    equal-width bisection; standard `%` works on sqlite/MySQL/Postgres."""
+    """Modulo task predicate — the split DataX's oceanbase/oracle readers
+    use when a pk's range is too skewed for equal-width bisection.
+
+    The predicate is ``((pk % n) + n) % n = i``, not plain ``pk % n = i``:
+    on dividend-sign databases (MySQL, SQLite, SQL Server) a negative pk's
+    remainder is negative, so ``pk % n = i`` with i in [0, n) silently
+    drops every negative-pk row (round-4 advice item). The double-mod
+    normalizes to [0, n) on every DB-API backend with the same `%`."""
     cols = ", ".join(columns) if columns else "*"
-    pred = f"({split_pk} % {n}) = {i}"
+    pred = f"((({split_pk} % {n}) + {n}) % {n}) = {i}"
     if where:
         pred = f"({where}) AND {pred}"
     return f"SELECT {cols} FROM {table} WHERE {pred}"
@@ -147,6 +162,8 @@ def read_dbapi(spark: SparkSession, p: dict) -> DataFrame:
             schema_ddl=p.get("schema"),
             probe_sql=f"SELECT * FROM ({qs if isinstance(qs, str) else qs[0]}) q WHERE 1=0",
             fetch=int(p.get("fetchSize", 10_000)),
+            dirty_dir=p.get("dirtyDir"),
+            max_connections=p.get("maxConnections"),
         )
     table = p["table"]
     columns = list(p["column"]) if p.get("column") not in (None, "*", ["*"]) else []
@@ -216,7 +233,9 @@ def read_dbapi(spark: SparkSession, p: dict) -> DataFrame:
         sqls = [f"SELECT {', '.join(columns) if columns else '*'} FROM {table}"
                 + (f" WHERE {where}" if where else "")]
     return _run_sqls(spark, connect, sqls, schema_ddl=schema_ddl,
-                     colnames=colnames, fetch=fetch)
+                     colnames=colnames, fetch=fetch,
+                     dirty_dir=p.get("dirtyDir"),
+                     max_connections=p.get("maxConnections"))
 
 
 def _run_sqls(
@@ -228,9 +247,26 @@ def _run_sqls(
     probe_sql: str | None = None,
     colnames: list[str] | None = None,
     fetch: int = 10_000,
+    dirty_dir: str | None = None,
+    max_connections: int | None = None,
 ) -> DataFrame:
     """One executor task per SQL statement, each streaming its result through
-    ``fetchmany`` into Arrow batches. Driver does metadata-only probes."""
+    ``fetchmany`` into Arrow batches. Driver does metadata-only probes.
+
+    ``dirty_dir``: CommonRdbmsReader parity (reader/CommonRdbmsReader.java:
+    241-350 routes per-row transport failures to taskPluginCollector instead
+    of failing the task) — each fetched batch is validated against the Arrow
+    schema; on a batch failure the rows are retried ONE AT A TIME and the
+    offending rows are appended to ``dirty_dir`` as JSON-lines audit records
+    (sql, row repr, reason) while the clean rows still flow. Like the
+    reference's collector this is at-least-once under task retry (audit
+    duplicates possible; data rows stay exactly-once via Spark's task
+    commit). Without ``dirty_dir`` a bad row fails the task (strict mode).
+
+    ``max_connections`` caps SIMULTANEOUS database connections — DataX's
+    channel count bounds concurrent DB load the same way; with S splits and
+    C=max_connections < S, the S statements run over C tasks, each task
+    draining its statements sequentially over one connection at a time."""
     if colnames is None or not schema_ddl:
         conn = connect()
         try:
@@ -250,8 +286,45 @@ def _run_sqls(
         finally:
             conn.close()
     names = list(colnames)
+    arrow_schema = None
+    if dirty_dir is not None:
+        from pyspark.sql.pandas.types import to_arrow_schema
+        from pyspark.sql.types import _parse_datatype_string
+
+        arrow_schema = to_arrow_schema(_parse_datatype_string(schema_ddl))
+        os.makedirs(dirty_dir, exist_ok=True)
+
+    def _route_batch(rows, sql):
+        """(clean_rows, dirty_records) — batch-level Arrow validation with
+        per-row fallback, so one poisoned row costs one extra pass over its
+        batch instead of the whole task."""
+        import pyarrow as pa
+
+        def cast_ok(rs):
+            pa.Table.from_pylist(
+                [dict(zip(names, r)) for r in rs], schema=arrow_schema)
+
+        try:
+            cast_ok(rows)
+            return rows, []
+        except (pa.ArrowInvalid, pa.ArrowTypeError, ValueError, OverflowError):
+            pass
+        clean, dirty = [], []
+        for r in rows:
+            try:
+                cast_ok([r])
+                clean.append(r)
+            except (pa.ArrowInvalid, pa.ArrowTypeError, ValueError,
+                    OverflowError) as e:
+                dirty.append({"sql": sql, "row": [repr(v) for v in r],
+                              "reason": f"{type(e).__name__}: {e}"})
+        return clean, dirty
 
     def run_sql(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import json as _json
+        import uuid as _uuid
+
+        dirty_records: list[dict] = []
         for pdf in batches:
             for sql in pdf["sql"]:
                 conn = connect()
@@ -262,19 +335,36 @@ def _run_sqls(
                         rows = cur.fetchmany(fetch)
                         if not rows:
                             break
+                        if arrow_schema is not None:
+                            rows, dirty = _route_batch(rows, sql)
+                            dirty_records.extend(dirty)
+                            if not rows:
+                                continue
                         yield pd.DataFrame.from_records(
                             [tuple(r) for r in rows], columns=names
                         )
                 finally:
                     conn.close()
+        if dirty_records:
+            path = os.path.join(
+                dirty_dir, f"dirty-{_uuid.uuid4().hex[:12]}.jsonl")
+            tmp = path + ".tmp"
+            with open(tmp, "w") as fh:
+                for rec in dirty_records:
+                    fh.write(_json.dumps(rec) + "\n")
+            os.replace(tmp, path)
 
     # exactly one SQL per task: spark.range(n, numPartitions=n) puts one id
     # in each partition deterministically (a hash repartition of the SQL rows
-    # can collide two ranges into one task and leave another idle)
+    # can collide two ranges into one task and leave another idle).
+    # max_connections < n_sqls packs several statements per task instead —
+    # range partitioning keeps the assignment contiguous and deterministic.
     import pyspark.sql.functions as F
 
+    n_parts = len(sqls) if max_connections is None \
+        else max(1, min(len(sqls), int(max_connections)))
     arr = F.array(*[F.lit(s) for s in sqls])
-    tasks = spark.range(0, len(sqls), 1, len(sqls)).select(
+    tasks = spark.range(0, len(sqls), 1, n_parts).select(
         F.element_at(arr, F.col("id").cast("int") + 1).alias("sql")
     )
     return tasks.mapInPandas(run_sql, schema_ddl)

@@ -172,7 +172,11 @@ def _sessionize_evict_fn(timeout_s: int):
             return
         out = list(_sessionize_fn(key, pdf_iter, state))
         last_ts = state.get[0]
-        state.setTimeoutTimestamp((int(last_ts) + timeout_s) * 1000)
+        target_ms = (int(last_ts) + timeout_s) * 1000
+        # a LATE key's last_ts + timeout can fall at/below the current
+        # watermark, which Spark rejects at runtime — clamp to just past it
+        wm_ms = state.getCurrentWatermarkMs()
+        state.setTimeoutTimestamp(max(target_ms, wm_ms + 1))
         yield from out
 
     return fn
@@ -200,6 +204,13 @@ def sessionize_stream(
     bounded key space, wrong for an unbounded one."""
     from pyspark.sql.streaming.state import GroupStateTimeout
 
+    if state_timeout_s is not None and state_timeout_s < GAP_S:
+        # eviction before the gap elapses would wrongly SPLIT a session for
+        # a key that reappears within the 30-min gap (the eviction-is-safe
+        # argument requires the evicted key's silence to exceed the gap)
+        raise ValueError(
+            f"state_timeout_s={state_timeout_s} must be >= session gap "
+            f"{GAP_S}s: earlier eviction splits still-open sessions")
     reader = spark.readStream.schema(schema_ddl)
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))

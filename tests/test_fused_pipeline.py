@@ -352,3 +352,100 @@ def test_fold_quarantine_compacts_and_preserves_rows(spark, log_and_work):
     final = rep.quarantine().toPandas()
     slice_rows = after[after["slice"] == os.path.basename(d)[6:]].shape[0]
     assert len(final) == len(before) + slice_rows
+
+
+def test_fold_requeue_interleave_with_crash_and_null_offsets(spark, log_and_work):
+    """Round-4 verdict item 6: the quarantine lifecycle's last untested seam.
+    Interleaves fold -> requeue -> (crash between merge and slice cleanup)
+    -> requeue -> fold and asserts (a) convergence to the clean-rule oracle,
+    (b) rows with NULL log_offset (foreign WALs — not re-keyable) survive
+    every step instead of being deleted by the requeue cleanup (round-4
+    advice item 1), (c) metrics reconcile."""
+    import glob
+    import os
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from datax_3_0_0_src_spark.cdc.fused import _dirty_schema
+    from datax_3_0_0_src_spark.cdc.quarantine import reason_col
+
+    log_dir, work, table = log_and_work
+
+    def strict_rule(op_col="op", delete_op="D"):
+        base = reason_col(op_col, delete_op)
+        overtight = F.pmod(F.xxhash64(F.col("url")), F.lit(5)) == 0
+        return (F.when(base.isNotNull(), base)
+                .when(overtight, F.lit("overtight_rule"))
+                .otherwise(F.lit(None).cast("string")))
+
+    rep = make(spark, log_dir, work, table, validity_rule=strict_rule,
+               error_percentage_limit=0.9)
+    rep.run()
+
+    # inject a foreign-WAL audit row (null log_offset) into an epoch slice
+    q = rep.cfg.quarantine_dir
+    a_slice = sorted(glob.glob(os.path.join(q, "slice=0-*")))[0]
+    foreign = pa.Table.from_pylist(
+        [{"log_offset": None, "epoch": 0, "url": "https://foreign.example/",
+          "reason": "bad_html", "raw_payload": b"<garbage>", "bucket": 0}],
+        schema=_dirty_schema())
+    pq.write_table(foreign, os.path.join(a_slice, "part-foreign.parquet"))
+
+    def n_null_offsets(r):
+        return r.quarantine().filter(F.col("log_offset").isNull()).count()
+
+    assert n_null_offsets(rep) == 1
+
+    # fold BEFORE requeue: folded slices are what the requeue semi-joins
+    rep.fold_quarantine()
+    assert n_null_offsets(rep) == 1
+
+    fixed = make(spark, log_dir, work, table)
+    # snapshot one epoch's slices; restoring them after the requeue
+    # simulates a crash BETWEEN the merge commit and the slice cleanup
+    bak_root = os.path.join(work, "slice_bak")  # outside the slice=* glob
+    os.makedirs(bak_root, exist_ok=True)
+    pre = {d: os.path.join(bak_root, os.path.basename(d))
+           for d in glob.glob(os.path.join(q, "slice=1-*"))}
+    for d, bak in pre.items():
+        shutil.copytree(d, bak)
+    out1 = fixed.requeue_quarantined()
+    assert sum(r["events_applied"] for r in out1) > 0
+    assert n_null_offsets(fixed) == 1  # foreign row survived cleanup
+    for d, bak in pre.items():  # "crash": cleanup of epoch 1 never happened
+        shutil.rmtree(d, ignore_errors=True)
+        os.rename(bak, d)
+
+    # re-run: idempotent merge re-converges, stale slices cleaned again
+    fixed2 = make(spark, log_dir, work, table)
+    fixed2.requeue_quarantined()
+    assert_state_matches(fixed2, CFG)
+    assert n_null_offsets(fixed2) == 1
+
+    # fold AFTER a requeue pass folds rq slices without losing rows
+    before = fixed2.quarantine().toPandas()
+    fixed2.fold_quarantine()
+    after = fixed2.quarantine().toPandas()
+    key = lambda u: (u is None, u)  # null_url rows sort stably  # noqa: E731
+    assert sorted(before["url"], key=key) == sorted(after["url"], key=key)
+
+    # converged: only intrinsically dirty rows + the foreign row remain
+    ev = gen_events_pdf(CFG, np.arange(CFG.n_events))
+    n_dirty = int((~validate_pd(ev)).sum())
+    assert fixed2.quarantine().count() == n_dirty + 1
+    reasons = {r["reason"] for r in
+               fixed2.quarantine().select("reason").distinct().collect()}
+    assert "overtight_rule" not in reasons
+
+    # metrics reconcile: every requeue generation recorded (negative epoch),
+    # original-run totals intact
+    m = fixed2.metrics().toPandas()
+    assert m[m["checkpoint_epoch"] < 0]["events_read"].sum() > 0
+    assert m[m["checkpoint_epoch"] >= 0]["events_read"].sum() == CFG.n_events
+
+    # a third requeue is a no-op on table state and quarantine
+    out3 = make(spark, log_dir, work, table).requeue_quarantined()
+    assert sum(r["events_applied"] for r in out3) == 0

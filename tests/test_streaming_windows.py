@@ -238,3 +238,14 @@ def test_stream_sessionize_state_eviction_bounds(spark, tmp_path):
         columns=["user_id", "session_id", "n_events", "session_value"],
     )
     pd.testing.assert_frame_equal(_norm(got), _norm(exp), check_dtype=False)
+
+
+def test_sessionize_stream_rejects_sub_gap_timeout(spark, tmp_path):
+    """state_timeout_s < GAP_S would evict mid-gap and wrongly split a
+    session for a key reappearing within 30 min (round-4 advice item)."""
+    import pytest
+
+    from datax_3_0_0_src_spark.streaming.windows import GAP_S, sessionize_stream
+
+    with pytest.raises(ValueError, match="must be >= session gap"):
+        sessionize_stream(spark, str(tmp_path), state_timeout_s=GAP_S - 1)
