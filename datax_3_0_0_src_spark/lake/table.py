@@ -768,7 +768,8 @@ class LakeTable:
                     # up arrow's own cpu_count-wide pool — tasks × cores
                     # threads oversubscribe the executor; parallelism comes
                     # from the per-bucket tasks themselves
-                    schemas, narrows = [], []
+                    schemas = []
+                    k_parts, ts_parts, off_parts, file_parts = [], [], [], []
                     for i, p in enumerate(paths):
                         pf = pq.ParquetFile(p)
                         schemas.append(pf.schema_arrow)
@@ -786,22 +787,41 @@ class LakeTable:
                         ts_s = nt.column(ts_col).to_pandas()
                         if getattr(ts_s.dtype, "tz", None) is not None:
                             ts_s = ts_s.dt.tz_convert("UTC").dt.tz_localize(None)
-                        narrows.append(pd.DataFrame({
-                            "k": nt.column(key).to_pandas(),
-                            # NaT sorts LAST in pandas; pin null ts to the
-                            # floor so it can never beat a real timestamp
-                            "ts": ts_s.fillna(pd.Timestamp.min),
-                            "off": pd.to_numeric(off).fillna(-1),
-                            "file": np.full(len(nt), i, dtype=np.int32),
-                            "row": np.arange(len(nt), dtype=np.int64),
-                        }))
-                    narrow = pd.concat(narrows, ignore_index=True)
-                    del narrows
-                    win = (
-                        narrow.sort_values(["k", "ts", "off"], kind="stable")
-                        .drop_duplicates("k", keep="last")
-                    )
-                    del narrow
+                        k_parts.append(nt.column(key).to_pandas())
+                        # NaT sorts LAST in pandas; pin null ts to the
+                        # floor so it can never beat a real timestamp
+                        ts_parts.append(
+                            ts_s.fillna(pd.Timestamp.min)
+                            .to_numpy("datetime64[ns]").view("int64"))
+                        off_parts.append(
+                            pd.to_numeric(off).fillna(-1).to_numpy(np.float64))
+                        file_parts.append(np.full(len(nt), i, dtype=np.int32))
+                    # winner per key = max (ts, off), last-concat-position
+                    # tiebreak — exactly pandas' stable sort_values(["k","ts",
+                    # "off"]) + drop_duplicates(keep="last"), but grouped by
+                    # factorize codes + integer lexsort instead of an
+                    # object-dtype multi-key string sort (the fold's measured
+                    # CPU hotspot; keys are urls). Group ORDER is irrelevant:
+                    # winners are re-sorted by (file, row) for pass 2.
+                    codes, _ = pd.factorize(
+                        pd.concat(k_parts, ignore_index=True), sort=False)
+                    ts_all = np.concatenate(ts_parts)
+                    off_all = np.concatenate(off_parts)
+                    file_all = np.concatenate(file_parts)
+                    sizes = [len(a) for a in file_parts]
+                    row_all = np.concatenate(
+                        [np.arange(n, dtype=np.int64) for n in sizes])
+                    del k_parts, ts_parts, off_parts, file_parts
+                    # lexsort is stable, keys ascending, last key primary:
+                    # order by (code, ts, off, concat-position)
+                    order = np.lexsort((off_all, ts_all, codes))
+                    sc = codes[order]
+                    is_last = np.empty(len(sc), dtype=bool)
+                    if len(sc):
+                        is_last[:-1] = sc[1:] != sc[:-1]
+                        is_last[-1] = True
+                    widx = order[is_last]
+                    del order, sc, is_last, codes, ts_all, off_all
                     # unified output schema across evolution generations.
                     # Timestamp fields are normalized to the engine repr
                     # (us, UTC-or-naive per ts_kinds) in EVERY input schema
@@ -826,14 +846,19 @@ class LakeTable:
                     # rows land in (file, row) order — identical to the old
                     # whole-bucket concat+take — and rotate across ~n_out
                     # output files at the same chunk boundaries
-                    total = len(win)
+                    total = len(widx)
                     per = -(-total // n_out) if total else 0
+                    file_w, row_w = file_all[widx], row_all[widx]
+                    del widx, file_all, row_all
+                    o2 = np.lexsort((row_w, file_w))
+                    file_w, row_w = file_w[o2], row_w[o2]
+                    del o2
+                    uf, starts = np.unique(file_w, return_index=True)
                     by_file = {
-                        int(fi): g["row"].to_numpy()
-                        for fi, g in win.sort_values(["file", "row"])
-                                        .groupby("file", sort=True)
+                        int(f): r
+                        for f, r in zip(uf, np.split(row_w, starts[1:]))
                     }
-                    del win
+                    del file_w, row_w
                     d = os.path.join(out_root, f"{SYS_BUCKET}={b}")
                     os.makedirs(d, exist_ok=True)
                     names, writer, written = [], None, 0
@@ -870,14 +895,18 @@ class LakeTable:
 
         # Range partitioning on the distinct bucket ids spreads buckets
         # evenly across tasks (hash repartition would collide ~40% of buckets
-        # together). Task count is CAPPED below the core count: the fold is
-        # memory-bandwidth-bound (decompress -> concat -> take -> compress),
-        # and measured wall time at 32 concurrent readers is WORSE than at 8
-        # — ~10 concurrent streams saturate this class of machine, beyond
-        # which extra tasks only thrash the LLC. Excess buckets queue within
-        # the same tasks.
+        # together). One task per core (up to one bucket each): the round-5
+        # fold lab (tools/fold_lab.py, BENCH_local_r5_fold_lab.json) showed
+        # the old max(8, cores//3) cap was the fold's anti-scaling culprit —
+        # 16M events fold in 25.6s with 10 tasks at 32 cores but 12.6s with
+        # 32 tasks; the winner pick is integer lexsort CPU, not pure
+        # bandwidth, so it scales to ~core count (and no further: 8 tasks on
+        # 8 cores hit 11.9s, so the per-level floors are bandwidth-bound
+        # near equal — flat, not inverted).
         par = self.spark.sparkContext.defaultParallelism
-        n_tasks = min(len(specs), max(8, par // 3))
+        n_tasks = min(len(specs), max(1, par))
+        if os.environ.get("DATAX_FOLD_TASKS"):  # fold-lab A/B override
+            n_tasks = min(len(specs), int(os.environ["DATAX_FOLD_TASKS"]))
         spec_df = self.spark.createDataFrame(specs, "bucket int, files string") \
             .repartitionByRange(n_tasks, "bucket")
         stats = spec_df.mapInPandas(fold_bucket, "bucket int, n_files int, rows long") \

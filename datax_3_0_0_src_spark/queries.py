@@ -1124,6 +1124,50 @@ FROM documents d LEFT JOIN comp ON comp.node = d.doc_id
 """
 
 
+def doc_embedding_near_dup(spark, sf_dir):
+    """Embedding-cosine near-duplicate dedup — the remaining dedup modality
+    from the task brief (exact / MinHash-LSH / SimHash / n-gram Jaccard are
+    already first-class): hyperplane-LSH buckets generate candidates, exact
+    cosine verifies them, and connected components collapse the verified
+    pairs into duplicate groups keyed by the minimum doc_id (the canonical
+    copy). At 100 TB the LSH bucket join bounds candidates (never
+    corpus x corpus) and the component rounds are plain join+groupBy codegen.
+    The DuckDB twin recomputes the identical plane projections / fold dot
+    products and the transitive closure with a recursive CTE."""
+    emb = _t(spark, sf_dir, "embeddings")
+    pairs = similarity.lsh_near_pairs(emb, n_planes=6, dim=64, min_cosine=0.25)
+    cc = dedup_ops.connected_components(pairs)
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    return (
+        docs.join(cc, docs["doc_id"] == cc["node"], "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("component"), F.col("doc_id")).alias("group_id"),
+            (F.coalesce(F.col("component"), F.col("doc_id"))
+             == F.col("doc_id")).alias("is_canonical"),
+        )
+    )
+
+
+DOC_EMB_NEAR_DUP_SQL = f"""
+WITH RECURSIVE p AS (SELECT id_a, id_b FROM ({EMB_LSH_SQL}) lsh),
+edges AS (SELECT id_a AS s, id_b AS d FROM p
+          UNION SELECT id_b, id_a FROM p),
+reach AS (
+  SELECT s AS node, d AS r FROM edges
+  UNION
+  SELECT reach.node, edges.d FROM reach JOIN edges ON reach.r = edges.s
+),
+comp AS (
+  SELECT node, LEAST(node, MIN(r)) AS group_id FROM reach GROUP BY node
+)
+SELECT d.doc_id,
+       COALESCE(comp.group_id, d.doc_id) AS group_id,
+       (COALESCE(comp.group_id, d.doc_id) = d.doc_id) AS is_canonical
+FROM documents d LEFT JOIN comp ON comp.node = d.doc_id
+"""
+
+
 def multimodal_features(spark, sf_dir):
     """REAL media content decode, hash-verified (round-3 verdict item 2):
     even doc_ids get a complete gray PNG (zlib-compressed IDAT, per-scanline
@@ -1237,6 +1281,7 @@ QUERIES: dict[str, Query] = {
     "emb_ivf_topk_big": emb_ivf_topk_big,
     "emb_ivf_topk_refined": emb_ivf_topk_refined,
     "emb_lsh_near_pairs": emb_lsh_near_pairs,
+    "doc_embedding_near_dup": doc_embedding_near_dup,
     "multimodal_media_meta": multimodal_media_meta,
     "multimodal_media_meta_mixed": multimodal_media_meta_mixed,
     "multimodal_features": multimodal_features,
@@ -1272,6 +1317,7 @@ ORACLES: dict[str, str] = {
     "emb_ivf_topk_big": EMB_IVF_BIG_SQL,
     "emb_ivf_topk_refined": EMB_IVF_REFINED_SQL,
     "emb_lsh_near_pairs": EMB_LSH_SQL,
+    "doc_embedding_near_dup": DOC_EMB_NEAR_DUP_SQL,
     "cdc_replay_snapshot": CDC_REPLAY_SQL,
     "cdc_replay_fused": CDC_REPLAY_FUSED_SQL,
     "multimodal_media_meta": MULTIMODAL_SQL,
