@@ -969,6 +969,96 @@ class LakeTable:
             raise RuntimeError("compact commit lost the optimistic race 64 times")
         return MergeStats(new_snap.version, len(todo), 0, 0, n_new, {})
 
+    def rebucket(
+        self,
+        new_num_buckets: int,
+        *,
+        target_files_per_bucket: int = 1,
+        pre_commit=None,
+    ) -> MergeStats:
+        """Bucket-count evolution — re-lay the table out over a different
+        hash-bucket count (Iceberg's partition-spec evolution for
+        ``bucket[N](key)``, done as a rewrite so every file stays
+        bucket-pure in the NEW layout).
+
+        Why this exists at 100 TB: the bucket count fixes the fold's
+        parallelism unit and bounds per-bucket rewrite size. A table created
+        at N buckets that then grows 100x ends up with file groups far past
+        file-group size — folds and bucket-pruned reads degrade until the
+        layout is widened. One pass: read the resolved current state
+        (LWW over base+deltas, TOMBSTONES KEPT — late events still cannot
+        resurrect rows after the rewrite), shuffle once on the new bucket
+        function, write, and commit a snapshot whose manifest carries the
+        new ``num_buckets``. Every later read/merge/fold derives its bucket
+        expr from the manifest, so the change is transparent downstream;
+        time travel to pre-rebucket versions still reads the old layout.
+
+        EXCLUSIVE by design: a concurrent MOR merge's delta files are
+        bucket-pure in the OLD layout and cannot be re-layered across a
+        bucket-count change, so the commit requires the snapshot to be
+        unchanged since this rewrite's read and raises on interference
+        (run it like a maintenance op, same as Iceberg's spec evolution).
+        """
+        if new_num_buckets < 1:
+            raise ValueError(f"new_num_buckets must be >= 1, got {new_num_buckets}")
+        snap = self.snapshot()
+        user_schema = StructType.fromJson(__import__("json").loads(snap.schema_json))
+        phys = self._physical_schema(user_schema)
+        key, ts_col = snap.properties["key"], snap.properties["ts_col"]
+        df = self._read_files(snap.all_files() + snap.all_deltas(), phys)
+        if snap.all_deltas():
+            df = self._resolve_lww(df, key, ts_col)
+        n_out = max(1, int(target_files_per_bucket))
+        df = df.withColumn(
+            SYS_BUCKET,
+            F.pmod(F.xxhash64(F.col(key)), F.lit(new_num_buckets)).cast("int"),
+        )
+        salt = (
+            F.pmod(F.xxhash64(F.col(key)), F.lit(n_out))
+            if n_out > 1 else F.lit(0)
+        )
+        df = df.withColumn("_salt", salt).repartition(
+            new_num_buckets * n_out, F.col(SYS_BUCKET), F.col("_salt")
+        ).drop("_salt")
+        rel_dir = f"data/r{snap.version + 1:08d}-{uuid.uuid4().hex[:8]}"
+        out_dir = os.path.join(self.path, rel_dir)
+        df.write.option("compression", self.compression).mode(
+            "errorifexists").partitionBy(SYS_BUCKET).parquet(out_dir)
+        written = self._written_buckets(out_dir, rel_dir)
+        if pre_commit is not None:
+            pre_commit()  # raising aborts with no snapshot (orphan files)
+        base = self.snapshot()
+        if base.version != snap.version:
+            raise RuntimeError(
+                f"concurrent commit during rebucket (read v{snap.version}, "
+                f"now v{base.version}): rebucket is exclusive — retry when "
+                f"no merges/folds are running"
+            )
+        new_snap = Snapshot(
+            version=base.version + 1, parent=base.version,
+            schema_json=base.schema_json,
+            num_buckets=new_num_buckets,
+            files={str(b): fs for b, fs in written.items()},
+            properties=dict(base.properties),
+            summary={
+                "rebucketed_from": snap.num_buckets,
+                "rebucketed_to": new_num_buckets,
+                "new_files": sum(len(fs) for fs in written.values()),
+            },
+            deltas={},
+        )
+        try:
+            write_snapshot(self.path, new_snap)
+        except FileExistsError:
+            raise RuntimeError(
+                "concurrent commit raced the rebucket's manifest write — "
+                "rebucket is exclusive; retry when the table is quiet"
+            ) from None
+        return MergeStats(
+            new_snap.version, len(written), 0, 0,
+            sum(len(fs) for fs in written.values()), {},
+        )
+
     def expire_snapshots(self, keep_last: int = 2) -> int:
         """Delete data files referenced only by expired snapshots (GC).
 

@@ -448,3 +448,129 @@ def test_local_fold_mixed_int96_and_micros_files(spark, tmp_path):
     assert got["u2"][1] == "new"    # newer micros row beat the INT96 instant
     snap = t.snapshot()
     assert all(not snap.bucket_deltas(b) for b in range(2))  # fully folded
+
+
+# --------------------------------------------------- rebucket (round 5)
+def test_rebucket_preserves_state_and_enables_new_layout(spark, tmp_path):
+    """Bucket-count evolution: state (incl. tombstones) survives the rewrite
+    byte-for-byte, the manifest carries the new count, deltas are folded
+    away, and post-rebucket merges/folds work in the new layout."""
+    t = make_table(spark, str(tmp_path / "t"), nb=2)
+    t.merge(batch(spark, [
+        (f"u{i}", f"2024-01-01T00:{i % 60:02d}:00", "<x>", f"T{i}", "en", i, "I")
+        for i in range(60)
+    ]), mode="mor")
+    t.merge(batch(spark, [
+        (f"u{i}", "2024-01-02T00:00:00", "<x>", f"N{i}", "en", 100 + i, "U")
+        for i in range(0, 60, 3)
+    ] + [
+        ("u5", "2024-01-03T00:00:00", None, None, None, 999, "D"),
+    ]), mode="mor")
+    before = {
+        r["url"]: (r["warc_ts"], r["text"], r["_deleted"], r["_lww_offset"])
+        for r in t.read(include_deleted=True, with_sys_cols=True).collect()
+    }
+    stats = t.rebucket(7, target_files_per_bucket=2)
+    snap = t.snapshot()
+    assert snap.num_buckets == 7
+    assert snap.deltas == {}
+    assert stats.touched_buckets == len(snap.files) <= 7
+    for b in snap.files:
+        assert len(snap.bucket_files(int(b))) <= 2
+        # every rewritten file is bucket-pure in the NEW layout
+        got = spark.read.parquet(
+            *[f"{t.path}/{f}" for f in snap.bucket_files(int(b))]
+        ).select(
+            F.pmod(F.xxhash64(F.col("url")), F.lit(7)).cast("int").alias("nb")
+        ).distinct().collect()
+        assert [r["nb"] for r in got] == [int(b)]
+    after = {
+        r["url"]: (r["warc_ts"], r["text"], r["_deleted"], r["_lww_offset"])
+        for r in t.read(include_deleted=True, with_sys_cols=True).collect()
+    }
+    assert after == before
+    # tombstone still blocks resurrection in the new layout
+    t.merge(batch(spark, [
+        ("u5", "2024-01-01T05:00:00", "<x>", "zombie", "en", 5000, "U"),
+    ]), mode="mor")
+    assert "u5" not in state(t)
+    # and the fold works against the new bucket count
+    t.compact(target_files_per_bucket=1, strategy="local")
+    assert t.snapshot().deltas == {}
+    # time travel to the pre-rebucket version still reads the old layout
+    old = {r["url"]: r["text"] for r in t.read(version=2).collect()}
+    assert old["u0"] == "N0" and "u5" not in old
+
+
+def test_rebucket_rejects_concurrent_commit(spark, tmp_path):
+    """A merge landing between the rebucket's read and its commit must fail
+    the rebucket (old-layout deltas cannot cross a bucket-count change)."""
+    t = make_table(spark, str(tmp_path / "t"), nb=2)
+    t.merge(batch(spark, [
+        ("u1", "2024-01-01T00:00:00", "<x>", "a", "en", 1, "I"),
+    ]), mode="mor")
+    v_before = t.snapshot().version
+
+    def sneak():
+        t.merge(batch(spark, [
+            ("u2", "2024-01-01T00:00:00", "<x>", "b", "en", 2, "I"),
+        ]), mode="mor")
+
+    with pytest.raises(RuntimeError, match="concurrent commit during rebucket"):
+        t.rebucket(5, pre_commit=sneak)
+    # the loser committed nothing: the sneak merge's snapshot is the head
+    snap = t.snapshot()
+    assert snap.version == v_before + 1
+    assert snap.num_buckets == 2
+    assert set(state(t)) == {"u1", "u2"}
+
+
+# ------------------------------------- fold winner-pick tie semantics (round 5)
+def test_local_fold_tiebreaks_match_shuffle_fold(spark, tmp_path):
+    """Adversarial LWW corner cases through BOTH fold strategies: equal ts
+    (offset decides), null ts (loses to any real ts; among null-ts rows the
+    offset decides), null offset (treated as -1). The local fold's
+    factorize+lexsort winner pick must agree with the shuffle fold's
+    window-sort row for row. (Fully-equal (ts, offset) rows are NOT tested:
+    the engine's contract is at most one row per (key, offset) — WAL
+    offsets are unique and every batch is pre-deduped — and outside it the
+    shuffle fold / max_by read path tie-break is arbitrary by design.)"""
+    rows_by_file = [
+        # file 1 (first delta batch)
+        [
+            ("tie_off", "2024-01-01T00:00:00", "<x>", "f1-off1", "en", 1, "I"),
+            ("null_ts", None, "<x>", "f1-nullts-off9", "en", 9, "I"),
+            ("null_off", "2024-01-01T00:00:00", "<x>", "f1-nulloff", "en", None, "I"),
+        ],
+        # file 2 (second delta batch)
+        [
+            ("tie_off", "2024-01-01T00:00:00", "<x>", "f2-off2", "en", 2, "U"),
+            ("null_ts", None, "<x>", "f2-nullts-off3", "en", 3, "U"),
+            ("null_off", "2024-01-01T00:00:00", "<x>", "f2-off0", "en", 0, "U"),
+        ],
+    ]
+
+    def batch_nullable(rows):
+        return spark.createDataFrame(
+            [
+                (u, TS(t) if t else None, (h or "").encode() or None, x, lg, off, op)
+                for (u, t, h, x, lg, off, op) in rows
+            ],
+            BATCH_SCHEMA,
+        )
+
+    tables = {}
+    for name, strategy in (("sh", "shuffle"), ("lo", "local")):
+        t = make_table(spark, str(tmp_path / name), nb=2)
+        for rows in rows_by_file:
+            t.merge(batch_nullable(rows), mode="mor")
+        t.compact(target_files_per_bucket=1, strategy=strategy)
+        tables[name] = {
+            r["url"]: (r["text"], r["_lww_offset"])
+            for r in t.read(include_deleted=True, with_sys_cols=True).collect()
+        }
+    assert tables["lo"] == tables["sh"]
+    # and the specific winners are the documented semantics
+    assert tables["lo"]["tie_off"][0] == "f2-off2"       # equal ts -> max offset
+    assert tables["lo"]["null_ts"][0] == "f1-nullts-off9"  # both null ts -> offset
+    assert tables["lo"]["null_off"][0] == "f2-off0"      # null off == -1 < 0
