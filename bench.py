@@ -105,6 +105,16 @@ if os.environ.get("BENCH_SINGLE_PASS", "") == "0":  # A/B the fused stage
     profile["single_pass"] = False
 if os.environ.get("BENCH_COMPRESSION", ""):  # A/B delta/fold codec (r5 item 2)
     profile["file_compression"] = os.environ["BENCH_COMPRESSION"]
+# overlapped folds (round-5 verdict item 2b): background-fold the deltas
+# committed so far WHILE later batches run; run() then ends with a tail
+# fold, so dt INCLUDES reaching the fully-folded state and the post-run
+# compact() is a ~0 residual. Opt-in A/B knob: the 2M A/B measured it a net
+# LOSS (mid-run folds re-rewrite the base — ~70% of WAL events mint new
+# keys, so folding early barely compresses and the tail fold still pays a
+# full-state pass).
+if os.environ.get("BENCH_FOLD_OVERLAP", "0") == "1":
+    profile["compact_overlap"] = True
+    profile["compact_every"] = int(os.environ.get("BENCH_FOLD_EVERY", "4"))
 # 8 micro-batches regardless of input size (measured best pipeline shape at
 # 32 cores); BENCH_CAP overrides for A/Bs, BENCH_CAP=0 = whole-epoch batches
 profile["max_events_per_batch"] = {cap}

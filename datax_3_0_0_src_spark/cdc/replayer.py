@@ -108,6 +108,19 @@ class ReplayConfig:
     compact_target_files: int = 2      # files/bucket after a fold
     compact_concurrency: int = 1       # parallel bucket-group folds (lake.compact)
     compact_strategy: str = "shuffle"  # "shuffle" | "local" (zero-exchange pyarrow fold)
+    # pipelined mode only: run the compact_every folds in a BACKGROUND thread
+    # overlapped with the still-running batches instead of serializing them
+    # after the last commit. Safe by construction: _commit_fold re-layers
+    # against the freshest snapshot and preserves any delta committed after
+    # the fold's read (read-time LWW against folded rows is exact — the
+    # folded rows keep their (ts, offset)), and concurrent folds can't race
+    # each other because the overlap thread is single. run() drains the
+    # in-flight fold and performs one final synchronous tail fold, so the
+    # post-run table state is identical to the serial fold's (fully folded,
+    # <= compact_target_files files/bucket, zero deltas) — only the WALL
+    # placement of the fold work moves, into the apply's idle core-seconds
+    # (driver planning / commit phases leave executors idle in waves).
+    compact_overlap: bool = False
     # parquet codec for delta/base/fold files this job writes ("snappy" |
     # "zstd" | ...): zstd shrinks the bytes the memory-bandwidth-bound fold
     # must re-read/re-write (~35% in the round-5 A/B) for a small compress-CPU
@@ -201,6 +214,12 @@ class Replayer:
             raise ValueError(
                 "max_concurrent_batches>1 requires merge_mode='mor' (COW "
                 "rewrites shared bucket files; MOR deltas are disjoint)"
+            )
+        if cfg.compact_overlap and not cfg.compact_every:
+            raise ValueError(
+                "compact_overlap=True needs compact_every set (it is the "
+                "overlapped fold's trigger: fold after every N committed "
+                "batches)"
             )
         if LakeTable.exists(cfg.table_path):
             self.table = LakeTable.load(spark, cfg.table_path)
@@ -529,22 +548,58 @@ class Replayer:
                 from concurrent.futures import ThreadPoolExecutor, as_completed
 
                 self._freeze_scan_splits([p[1] for p in pending])
-                with ThreadPoolExecutor(max_workers=conc) as pool:
-                    futs = {
-                        pool.submit(self._run_batch, *p): p for p in pending
-                    }
-                    for fut in as_completed(futs):
-                        res = fut.result()  # propagate the first failure
-                        results.append(res)
-                        if reporter:
-                            reporter.update(
-                                events_read=res.events_read,
-                                events_applied=res.events_applied,
-                                events_quarantined=res.events_quarantined,
-                                batches=1,
-                            )
+                # overlapped folds (compact_overlap): a SINGLE background
+                # thread folds the deltas committed so far while later
+                # batches are still running, triggered every compact_every
+                # commits. The fold reads a snapshot, folds, and CAS-commits;
+                # deltas layered after its read survive the commit (see
+                # LakeTable._commit_fold), so the race with concurrent
+                # merges is safe. One thread = folds never race each other.
+                fold_pool = ThreadPoolExecutor(max_workers=1)
+                fold_fut = None
+                since_fold = 0
+
+                def _fold():
+                    return self.table.compact(
+                        target_files_per_bucket=self.cfg.compact_target_files,
+                        concurrency=self.cfg.compact_concurrency,
+                        strategy=self.cfg.compact_strategy,
+                    )
+
+                try:
+                    with ThreadPoolExecutor(max_workers=conc) as pool:
+                        futs = {
+                            pool.submit(self._run_batch, *p): p for p in pending
+                        }
+                        for fut in as_completed(futs):
+                            res = fut.result()  # propagate the first failure
+                            results.append(res)
+                            since_fold += 1
+                            if reporter:
+                                reporter.update(
+                                    events_read=res.events_read,
+                                    events_applied=res.events_applied,
+                                    events_quarantined=res.events_quarantined,
+                                    batches=1,
+                                )
+                            if (
+                                self.cfg.compact_overlap
+                                and since_fold >= self.cfg.compact_every
+                                and (fold_fut is None or fold_fut.done())
+                            ):
+                                if fold_fut is not None:
+                                    fold_fut.result()  # surface a fold failure
+                                since_fold = 0
+                                fold_fut = fold_pool.submit(_fold)
+                    if fold_fut is not None:
+                        fold_fut.result()  # drain the in-flight fold
+                finally:
+                    fold_pool.shutdown(wait=True)
                 results.sort(key=lambda r: r.batch_id)
                 if self.cfg.compact_every and results:
+                    # tail fold: whatever landed after the last overlapped
+                    # fold (or everything, when compact_overlap is off) —
+                    # the post-run state is fully folded either way
                     self.table.compact(
                         target_files_per_bucket=self.cfg.compact_target_files,
                         concurrency=self.cfg.compact_concurrency,

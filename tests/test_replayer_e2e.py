@@ -178,6 +178,48 @@ def test_concurrent_batches_same_state(spark, log_and_work):
     assert_state_matches(rep2, CFG)
 
 
+def test_overlapped_fold_same_state_and_fully_folded(spark, log_and_work):
+    """compact_overlap: background folds race the still-running batches (the
+    CAS commit preserves deltas layered after each fold's read), and the
+    post-run tail fold leaves the table byte-identical to the oracle AND
+    fully folded — zero deltas, <= compact_target_files files per bucket."""
+    log_dir, work, table = log_and_work
+    rep = make_replayer(spark, log_dir, work, table,
+                        merge_mode="mor", dedup_per_batch=False,
+                        single_pass=True, lineage_level="global",
+                        max_events_per_batch=400, max_concurrent_batches=3,
+                        compact_every=2, compact_overlap=True,
+                        compact_strategy="local", compact_concurrency=2)
+    results = rep.run()
+    assert len(results) == 9
+    assert_state_matches(rep, CFG)
+    snap = rep.table.snapshot()
+    assert all(not v for v in snap.deltas.values())
+    assert all(len(fs) <= rep.cfg.compact_target_files
+               for fs in snap.files.values())
+    # at least one fold commit landed on top of the 9 merge commits (how
+    # many mid-run folds fire is timing-dependent; the tail fold no-ops
+    # when an overlapped fold already read the final delta set)
+    assert snap.version >= len(results) + 1
+    # exactly-once on re-run, state unchanged
+    rep2 = make_replayer(spark, log_dir, work, table,
+                         merge_mode="mor", dedup_per_batch=False,
+                         single_pass=True, lineage_level="global",
+                         max_events_per_batch=400, max_concurrent_batches=3,
+                         compact_every=2, compact_overlap=True,
+                         compact_strategy="local")
+    assert rep2.run() == []
+    assert_state_matches(rep2, CFG)
+
+
+def test_overlap_requires_compact_every(spark, tmp_path):
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="compact_every"):
+        make_replayer(spark, str(tmp_path / "w"), str(tmp_path / "wk"),
+                      str(tmp_path / "t"), merge_mode="mor",
+                      compact_overlap=True, compact_every=None)
+
+
 def test_concurrent_requires_mor(spark, tmp_path):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="mor"):
