@@ -107,7 +107,10 @@ class ReplayConfig:
     compact_every: int | None = None   # fold MOR deltas every N batches
     compact_target_files: int = 2      # files/bucket after a fold
     compact_concurrency: int = 1       # parallel bucket-group folds (lake.compact)
-    compact_strategy: str = "shuffle"  # "shuffle" | "local" (zero-exchange pyarrow fold)
+    # "shuffle" | "local" (zero-exchange pyarrow rewrite fold) | "dv"
+    # (delete-vector minor fold: LWW resolved via positional-delete sidecars,
+    # no data rewrite — see LakeTable._fold_dv)
+    compact_strategy: str = "shuffle"
     # pipelined mode only: run the compact_every folds in a BACKGROUND thread
     # overlapped with the still-running batches instead of serializing them
     # after the last commit. Safe by construction: _commit_fold re-layers

@@ -37,22 +37,28 @@ class Snapshot:
     # merge-on-read delta files per bucket: unresolved LWW rows layered on top
     # of ``files`` (the base); compaction folds them down. Same key layout.
     deltas: dict[str, list[str]] = field(default_factory=dict)
+    # positional delete-vector files per bucket (Iceberg-v2-style minor
+    # compaction): each DV parquet holds (fid, pos) loser positions plus a
+    # fid->data-file map; readers drop those rows via a broadcast anti-join
+    # instead of a read-time LWW aggregation. A DV fold PROMOTES the deltas
+    # it read into ``files`` and attaches the bucket's recomputed DV set;
+    # a major (rewrite) fold clears it.
+    dvs: dict[str, list[str]] = field(default_factory=dict)
 
     def to_json(self) -> str:
-        return json.dumps(
-            {
-                "version": self.version,
-                "parent": self.parent,
-                "schema_json": self.schema_json,
-                "num_buckets": self.num_buckets,
-                "files": self.files,
-                "deltas": self.deltas,
-                "properties": self.properties,
-                "summary": self.summary,
-            },
-            indent=1,
-            sort_keys=True,
-        )
+        d = {
+            "version": self.version,
+            "parent": self.parent,
+            "schema_json": self.schema_json,
+            "num_buckets": self.num_buckets,
+            "files": self.files,
+            "deltas": self.deltas,
+            "properties": self.properties,
+            "summary": self.summary,
+        }
+        if self.dvs:  # older manifests stay byte-stable without the key
+            d["dvs"] = self.dvs
+        return json.dumps(d, indent=1, sort_keys=True)
 
     @staticmethod
     def from_json(s: str) -> "Snapshot":
@@ -66,6 +72,7 @@ class Snapshot:
             properties=d.get("properties", {}),
             summary=d.get("summary", {}),
             deltas=d.get("deltas", {}),
+            dvs=d.get("dvs", {}),
         )
 
     def bucket_files(self, bucket: int) -> list[str]:
@@ -74,11 +81,17 @@ class Snapshot:
     def bucket_deltas(self, bucket: int) -> list[str]:
         return self.deltas.get(str(bucket), [])
 
+    def bucket_dvs(self, bucket: int) -> list[str]:
+        return self.dvs.get(str(bucket), [])
+
     def all_files(self) -> list[str]:
         return [f for lst in self.files.values() for f in lst]
 
     def all_deltas(self) -> list[str]:
         return [f for lst in self.deltas.values() for f in lst]
+
+    def all_dvs(self) -> list[str]:
+        return [f for lst in self.dvs.values() for f in lst]
 
 
 def _meta_dir(table_dir: str) -> str:

@@ -51,6 +51,73 @@ SYS_DELETED = "_deleted"     # tombstone flag
 SYS_BUCKET = "_bucket"       # partition-directory column (not stored inside files)
 
 
+def _lww_winner_pick(paths: list, key: str, ts_col: str):
+    """Pass-1 NARROW LWW winner pick over one bucket's parquet files (runs
+    inside executor tasks — pyarrow/pandas/numpy only, no Spark).
+
+    Reads just (key, ts, offset) from each file, computes the per-key winner
+    as max (ts, coalesce(offset, -1)) with a last-concat-position tiebreak —
+    exactly the engine's LWW rule (see _resolve_lww) — via factorize codes +
+    integer lexsort (the measured fast path; keys are urls, an object-dtype
+    multi-key sort is the hotspot this avoids).
+
+    Returns ``(widx, file_all, row_all, schemas)``: ``widx`` indexes winner
+    rows in the virtual concatenation of all files in ``paths`` order;
+    ``file_all``/``row_all`` map every concat index to (file ordinal,
+    within-file row position); ``schemas`` is each file's arrow schema.
+    """
+    import numpy as np
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    schemas = []
+    k_parts, ts_parts, off_parts, file_parts = [], [], [], []
+    for i, p in enumerate(paths):
+        pf = pq.ParquetFile(p)
+        schemas.append(pf.schema_arrow)
+        want = [c for c in (key, ts_col, SYS_OFFSET)
+                if c in pf.schema_arrow.names]
+        nt = pq.read_table(p, columns=want, use_threads=False)
+        off = nt.column(SYS_OFFSET).to_pandas() \
+            if SYS_OFFSET in nt.column_names \
+            else pd.Series([None] * len(nt))
+        # normalise ts repr per file BEFORE concat: a bucket mixing legacy
+        # INT96 files (naive ns; values are UTC instants) with engine-written
+        # us/UTC files would otherwise concat to object dtype and the winner
+        # sort would raise on naive-vs-aware comparison
+        ts_s = nt.column(ts_col).to_pandas()
+        if getattr(ts_s.dtype, "tz", None) is not None:
+            ts_s = ts_s.dt.tz_convert("UTC").dt.tz_localize(None)
+        k_parts.append(nt.column(key).to_pandas())
+        # NaT sorts LAST in pandas; pin null ts to the floor so it can
+        # never beat a real timestamp
+        ts_parts.append(
+            ts_s.fillna(pd.Timestamp.min)
+            .to_numpy("datetime64[ns]").view("int64"))
+        off_parts.append(
+            pd.to_numeric(off).fillna(-1).to_numpy(np.float64))
+        file_parts.append(np.full(len(nt), i, dtype=np.int32))
+    codes, _ = pd.factorize(
+        pd.concat(k_parts, ignore_index=True), sort=False)
+    ts_all = np.concatenate(ts_parts)
+    off_all = np.concatenate(off_parts)
+    file_all = np.concatenate(file_parts)
+    sizes = [len(a) for a in file_parts]
+    row_all = np.concatenate(
+        [np.arange(n, dtype=np.int64) for n in sizes])
+    del k_parts, ts_parts, off_parts, file_parts
+    # lexsort is stable, keys ascending, last key primary:
+    # order by (code, ts, off, concat-position)
+    order = np.lexsort((off_all, ts_all, codes))
+    sc = codes[order]
+    is_last = np.empty(len(sc), dtype=bool)
+    if len(sc):
+        is_last[:-1] = sc[1:] != sc[:-1]
+        is_last[-1] = True
+    widx = order[is_last]
+    return widx, file_all, row_all, schemas
+
+
 def _merged_props(base: dict, updates: dict | None) -> dict:
     """Merge property updates into a snapshot's properties; an update mapped
     to None REMOVES the key. This is the bounded-growth contract for
@@ -168,6 +235,39 @@ class LakeTable:
         # explicit schema => additive evolution backfills missing columns as null
         return self.spark.read.schema(schema).parquet(*paths)
 
+    def _apply_dvs(self, scan: DataFrame, dv_files: list[str]) -> DataFrame:
+        """Drop the rows a delete-vector fold marked as LWW losers.
+
+        Two broadcast-hash steps, ZERO shuffles of the wide side: the scan
+        keeps its file-source partitioning and each task hash-probes the
+        broadcast loser set on (file-hash, position). File identity travels
+        as xxhash64 of the table-relative path, so the broadcast build side
+        is 16 bytes per loser — no repeated path strings. Positions come
+        from the parquet reader's ``_metadata.row_index`` (within-file row
+        ordinal), matching the DV fold's within-file positions exactly.
+        """
+        paths = [os.path.join(self.path, f) for f in dv_files]
+        dv = (
+            self.spark.read.parquet(*paths)
+            .select(
+                F.xxhash64("file").alias("_dv_fid"),
+                F.col("pos").alias("_dv_pos"),
+            )
+        )
+        # table-relative path of each scanned row's file: everything after
+        # the LAST "/data/" (data-dir names are hex-suffixed m/c/v/dv dirs —
+        # they never contain "/data/", so the last occurrence is always the
+        # table's own data root even when the table PATH contains "/data/")
+        rel = F.concat(
+            F.lit("data/"),
+            F.substring_index(F.col("_metadata.file_path"), "/data/", -1),
+        )
+        scan = scan.withColumn("_dv_fid", F.xxhash64(rel)).withColumn(
+            "_dv_pos", F.col("_metadata.row_index"))
+        return scan.join(
+            F.broadcast(dv), on=["_dv_fid", "_dv_pos"], how="left_anti"
+        ).drop("_dv_fid", "_dv_pos")
+
     def _resolve_lww(self, df: DataFrame, key: str, ts_col: str) -> DataFrame:
         """Fold base+delta rows down to one LWW winner per key.
 
@@ -200,10 +300,17 @@ class LakeTable:
         if buckets is None:
             files = snap.all_files()
             dfiles = snap.all_deltas()
+            vfiles = snap.all_dvs()
         else:
             files = [f for b in buckets for f in snap.bucket_files(b)]
             dfiles = [f for b in buckets for f in snap.bucket_deltas(b)]
+            vfiles = [f for b in buckets for f in snap.bucket_dvs(b)]
         df = self._read_files(files + dfiles, phys)
+        if vfiles:
+            # delete-vector-folded buckets: losers drop via a broadcast
+            # anti-join (no shuffle); deltas layered AFTER the DV fold (if
+            # any) still resolve below — against winners only
+            df = self._apply_dvs(df, vfiles)
         if dfiles:
             df = self._resolve_lww(df, snap.properties["key"], snap.properties["ts_col"])
         if not include_deleted:
@@ -335,13 +442,20 @@ class LakeTable:
                 properties=_merged_props(snap.properties, properties),
                 summary={"touched_buckets": 0, "batch_rows": 0, "batch_deletes": 0},
                 deltas=dict(snap.deltas),
+                dvs=dict(snap.dvs),
             )
             write_snapshot(self.path, new_snap)
             return MergeStats(new_snap.version, 0, 0, 0, 0, {})
 
         touched_files = [f for b in touched for f in snap.bucket_files(b)]
         touched_deltas = [f for b in touched for f in snap.bucket_deltas(b)]
+        touched_dvs = [f for b in touched for f in snap.bucket_dvs(b)]
         e = self._read_files(touched_files + touched_deltas, phys)
+        if touched_dvs:
+            # DV-folded buckets carry masked losers in their base files —
+            # drop them before the full-outer resolve (which needs at most
+            # one live row per key)
+            e = self._apply_dvs(e, touched_dvs)
         if touched_deltas:
             # a COW merge onto MOR-layered buckets folds their deltas first
             e = self._resolve_lww(e, key, ts_col)
@@ -403,6 +517,9 @@ class LakeTable:
         new_deltas = {
             b: list(fs) for b, fs in snap.deltas.items() if int(b) not in touched
         }
+        new_dvs = {  # rewritten buckets carry winners only — their DVs die
+            b: list(fs) for b, fs in snap.dvs.items() if int(b) not in touched
+        }
         new_snap = Snapshot(
             version=version, parent=snap.version,
             schema_json=user_schema.json(), num_buckets=nb, files=new_files,
@@ -414,6 +531,7 @@ class LakeTable:
                 "new_files": n_new,
             },
             deltas=new_deltas,
+            dvs=new_dvs,
         )
         write_snapshot(self.path, new_snap)
         return MergeStats(version, len(touched), batch_rows, batch_deletes, n_new, per_bucket)
@@ -527,6 +645,7 @@ class LakeTable:
                     "merge_mode": "mor",
                 },
                 deltas=new_deltas,
+                dvs=dict(base.dvs),
             )
             try:
                 write_snapshot(self.path, new_snap)
@@ -566,6 +685,7 @@ class LakeTable:
             properties=_merged_props(snap.properties, properties),
             summary={"appended_files": n_new},
             deltas=dict(snap.deltas),
+            dvs=dict(snap.dvs),
         )
         write_snapshot(self.path, new_snap)
         return MergeStats(version, 0, 0, 0, n_new)
@@ -605,11 +725,28 @@ class LakeTable:
           a cluster-wide shuffle because every key's rows are already
           confined to one bucket's file group. Requires executors to reach
           the table path (shared FS / object store — true wherever the table
-          itself is readable)."""
-        if strategy not in ("shuffle", "local"):
-            raise ValueError(f"strategy must be 'shuffle' or 'local', got {strategy!r}")
+          itself is readable).
+        - "dv": MINOR fold via positional delete vectors — resolves the
+          deferred LWW without rewriting any data (narrow pass-1 winner pick
+          + (file, pos) sidecars; see :meth:`_fold_dv`). File counts are
+          untouched; pair with an occasional "local" rewrite for file-count
+          hygiene (Iceberg's minor/major split). ``target_files_per_bucket``
+          and ``concurrency`` are ignored."""
+        if strategy not in ("shuffle", "local", "dv"):
+            raise ValueError(
+                f"strategy must be 'shuffle', 'local' or 'dv', got {strategy!r}")
         snap = self.snapshot()
         candidates = set(int(b) for b in snap.files) | set(int(b) for b in snap.deltas)
+        if strategy == "dv":
+            # minor fold: only buckets with unresolved deltas need new
+            # delete vectors (file counts are untouched by design)
+            todo = sorted(
+                b for b in candidates
+                if snap.bucket_deltas(b) and (buckets is None or b in buckets)
+            )
+            if not todo:
+                return MergeStats(snap.version, 0, 0, 0, 0, {})
+            return self._fold_dv(snap, todo)
         todo = sorted(
             b for b in candidates
             if (snap.bucket_deltas(b) or len(snap.bucket_files(b)) > target_files_per_bucket)
@@ -764,64 +901,12 @@ class LakeTable:
                     # ---- pass 1 (narrow): winner (file, row) per key from the
                     # (key, ts, offset) columns only — the wide payload columns
                     # (html/text) are never materialised for losing rows.
-                    # use_threads=False: every fold task would otherwise spin
-                    # up arrow's own cpu_count-wide pool — tasks × cores
+                    # use_threads=False inside: every fold task would otherwise
+                    # spin up arrow's own cpu_count-wide pool — tasks × cores
                     # threads oversubscribe the executor; parallelism comes
                     # from the per-bucket tasks themselves
-                    schemas = []
-                    k_parts, ts_parts, off_parts, file_parts = [], [], [], []
-                    for i, p in enumerate(paths):
-                        pf = pq.ParquetFile(p)
-                        schemas.append(pf.schema_arrow)
-                        want = [c for c in (key, ts_col, SYS_OFFSET)
-                                if c in pf.schema_arrow.names]
-                        nt = pq.read_table(p, columns=want, use_threads=False)
-                        off = nt.column(SYS_OFFSET).to_pandas() \
-                            if SYS_OFFSET in nt.column_names \
-                            else pd.Series([None] * len(nt))
-                        # normalise ts repr per file BEFORE concat: a bucket
-                        # mixing legacy INT96 files (naive ns; values are UTC
-                        # instants) with engine-written us/UTC files would
-                        # otherwise concat to object dtype and the winner sort
-                        # would raise on naive-vs-aware comparison
-                        ts_s = nt.column(ts_col).to_pandas()
-                        if getattr(ts_s.dtype, "tz", None) is not None:
-                            ts_s = ts_s.dt.tz_convert("UTC").dt.tz_localize(None)
-                        k_parts.append(nt.column(key).to_pandas())
-                        # NaT sorts LAST in pandas; pin null ts to the
-                        # floor so it can never beat a real timestamp
-                        ts_parts.append(
-                            ts_s.fillna(pd.Timestamp.min)
-                            .to_numpy("datetime64[ns]").view("int64"))
-                        off_parts.append(
-                            pd.to_numeric(off).fillna(-1).to_numpy(np.float64))
-                        file_parts.append(np.full(len(nt), i, dtype=np.int32))
-                    # winner per key = max (ts, off), last-concat-position
-                    # tiebreak — exactly pandas' stable sort_values(["k","ts",
-                    # "off"]) + drop_duplicates(keep="last"), but grouped by
-                    # factorize codes + integer lexsort instead of an
-                    # object-dtype multi-key string sort (the fold's measured
-                    # CPU hotspot; keys are urls). Group ORDER is irrelevant:
-                    # winners are re-sorted by (file, row) for pass 2.
-                    codes, _ = pd.factorize(
-                        pd.concat(k_parts, ignore_index=True), sort=False)
-                    ts_all = np.concatenate(ts_parts)
-                    off_all = np.concatenate(off_parts)
-                    file_all = np.concatenate(file_parts)
-                    sizes = [len(a) for a in file_parts]
-                    row_all = np.concatenate(
-                        [np.arange(n, dtype=np.int64) for n in sizes])
-                    del k_parts, ts_parts, off_parts, file_parts
-                    # lexsort is stable, keys ascending, last key primary:
-                    # order by (code, ts, off, concat-position)
-                    order = np.lexsort((off_all, ts_all, codes))
-                    sc = codes[order]
-                    is_last = np.empty(len(sc), dtype=bool)
-                    if len(sc):
-                        is_last[:-1] = sc[1:] != sc[:-1]
-                        is_last[-1] = True
-                    widx = order[is_last]
-                    del order, sc, is_last, codes, ts_all, off_all
+                    widx, file_all, row_all, schemas = _lww_winner_pick(
+                        paths, key, ts_col)
                     # unified output schema across evolution generations.
                     # Timestamp fields are normalized to the engine repr
                     # (us, UTC-or-naive per ts_kinds) in EVERY input schema
@@ -920,6 +1005,146 @@ class LakeTable:
         }
         return self._commit_fold(todo, folded_files, folded_deltas, written)
 
+    def _fold_dv(self, snap: Snapshot, todo: list[int]) -> MergeStats:
+        """Delete-vector minor fold (Iceberg v2 positional deletes / Delta
+        deletion vectors, re-expressed on this manifest): resolve the
+        deferred LWW WITHOUT rewriting any data.
+
+        One executor task per bucket runs the same NARROW pass-1 winner pick
+        as the rewrite fold (:func:`_lww_winner_pick` — (key, ts, offset)
+        columns only) and writes the LOSER positions as a tiny (file, pos)
+        parquet sidecar; the commit PROMOTES the bucket's delta files into
+        the base and attaches the recomputed DV set. Readers drop losers via
+        a broadcast anti-join (:meth:`_apply_dvs`) — no wide-row aggregation.
+
+        Why this is the scale path: a rewrite fold's cost is the table's
+        FULL width (read+write every surviving byte — memory-bandwidth-bound
+        and ~flat in core count on one box), while the DV fold touches three
+        narrow columns in and KBs-to-MBs of positions out, so its cost is
+        the integer winner-sort — CPU-bound, scaling with cores. File-count
+        hygiene still needs an occasional rewrite fold (strategy='local'),
+        exactly like Iceberg's minor-vs-major compaction split.
+
+        Recomputation is idempotent by the winner rule's determinism: a
+        previously-masked loser loses again, so each DV fold REPLACES the
+        bucket's DV set (no read-modify-write of old vectors).
+        """
+        import json as _json
+
+        key, ts_col = snap.properties["key"], snap.properties["ts_col"]
+        folded_files = {b: set(snap.bucket_files(b)) for b in todo}
+        folded_deltas = {b: set(snap.bucket_deltas(b)) for b in todo}
+        rel_dir = f"data/dv{snap.version + 1:08d}-{uuid.uuid4().hex[:8]}"
+        out_root = os.path.join(self.path, rel_dir)
+        table_path = self.path
+        codec = self.compression
+        specs = [
+            (b, _json.dumps(sorted(folded_files[b]) + sorted(folded_deltas[b])))
+            for b in todo
+        ]
+
+        def dv_bucket(batches):
+            import numpy as np
+            import pandas as pd
+            import pyarrow as pa
+            import pyarrow.parquet as pq
+
+            for pdf in batches:
+                for b, files_json in zip(pdf["bucket"], pdf["files"]):
+                    b = int(b)
+                    rels = _json.loads(files_json)
+                    paths = [os.path.join(table_path, f) for f in rels]
+                    widx, file_all, row_all, _schemas = _lww_winner_pick(
+                        paths, key, ts_col)
+                    win = np.zeros(len(file_all), dtype=bool)
+                    win[widx] = True
+                    lose = ~win
+                    n_losers = int(lose.sum())
+                    rel_out = None
+                    if n_losers:
+                        d = os.path.join(out_root, f"{SYS_BUCKET}={b}")
+                        os.makedirs(d, exist_ok=True)
+                        name = "dv-00000.parquet"
+                        tbl = pa.table({
+                            "file": pa.array(
+                                np.array(rels, dtype=object)[file_all[lose]]),
+                            "pos": pa.array(row_all[lose], type=pa.int64()),
+                        })
+                        pq.write_table(
+                            tbl, os.path.join(d, name), compression=codec)
+                        rel_out = f"{rel_dir}/{SYS_BUCKET}={b}/{name}"
+                    yield pd.DataFrame({
+                        "bucket": [b], "n_losers": [n_losers],
+                        "dv_file": [rel_out],
+                    })
+
+        par = self.spark.sparkContext.defaultParallelism
+        n_tasks = min(len(specs), max(1, par))
+        spec_df = self.spark.createDataFrame(specs, "bucket int, files string") \
+            .repartitionByRange(n_tasks, "bucket")
+        stats = spec_df.mapInPandas(
+            dv_bucket, "bucket int, n_losers long, dv_file string").collect()
+        dv_written = {
+            int(r["bucket"]): [r["dv_file"]] if r["dv_file"] else []
+            for r in stats
+        }
+        return self._commit_dv(todo, folded_files, folded_deltas, dv_written)
+
+    def _commit_dv(
+        self,
+        todo: list[int],
+        folded_files: dict[int, set],
+        folded_deltas: dict[int, set],
+        dv_written: dict[int, list[str]],
+    ) -> MergeStats:
+        """Optimistic-CAS commit of a DV fold: promote the folded delta files
+        into the base, replace the bucket's DV set, preserve deltas layered
+        after the fold's read, reject concurrent folds of the same bucket."""
+        n_new = sum(len(fs) for fs in dv_written.values())
+        for _attempt in range(64):
+            base = self.snapshot()
+            new_files = {b: list(fs) for b, fs in base.files.items()}
+            new_deltas = {b: list(fs) for b, fs in base.deltas.items()}
+            new_dvs = {b: list(fs) for b, fs in base.dvs.items()}
+            for b in todo:
+                if set(base.bucket_files(b)) != folded_files[b]:
+                    raise RuntimeError(
+                        f"concurrent compaction of bucket {b}: base files "
+                        f"changed under the DV fold (folds must target "
+                        f"disjoint buckets)"
+                    )
+                new_files[str(b)] = (
+                    base.bucket_files(b) + sorted(folded_deltas[b]))
+                survivors = [
+                    f for f in base.bucket_deltas(b)
+                    if f not in folded_deltas[b]
+                ]
+                if survivors:
+                    new_deltas[str(b)] = survivors
+                else:
+                    new_deltas.pop(str(b), None)
+                if dv_written.get(b):
+                    new_dvs[str(b)] = list(dv_written[b])
+                else:
+                    new_dvs.pop(str(b), None)  # zero losers: winners only
+            new_snap = Snapshot(
+                version=base.version + 1, parent=base.version,
+                schema_json=base.schema_json,
+                num_buckets=base.num_buckets, files=new_files,
+                properties=dict(base.properties),
+                summary={"dv_folded_buckets": len(todo), "dv_files": n_new},
+                deltas=new_deltas,
+                dvs=new_dvs,
+            )
+            try:
+                write_snapshot(self.path, new_snap)
+                break
+            except FileExistsError:
+                continue  # optimistic-concurrency loser: re-layer and retry
+        else:
+            raise RuntimeError("DV fold commit lost the optimistic race 64 times")
+        return MergeStats(new_snap.version, len(todo), 0, 0, n_new, {})
+
     def _commit_fold(
         self,
         todo: list[int],
@@ -936,12 +1161,17 @@ class LakeTable:
             base = self.snapshot()  # freshest — merges/folds may have landed
             new_files = {b: list(fs) for b, fs in base.files.items()}
             new_deltas = {b: list(fs) for b, fs in base.deltas.items()}
+            new_dvs = {b: list(fs) for b, fs in base.dvs.items()}
             for b in todo:
                 if set(base.bucket_files(b)) != folded_files[b]:
                     raise RuntimeError(
                         f"concurrent compaction of bucket {b}: base files changed "
                         f"under the fold (folds must target disjoint buckets)"
                     )
+                # the rewrite kept winners only; DV-masked losers were re-
+                # identified by the same deterministic (ts, offset) rule and
+                # dropped, so the bucket's delete vectors are obsolete
+                new_dvs.pop(str(b), None)
                 new_files[str(b)] = written.get(b, [])
                 if not new_files[str(b)]:
                     new_files.pop(str(b), None)  # bucket folded away (all tombstoned? no rows)
@@ -959,6 +1189,7 @@ class LakeTable:
                 properties=dict(base.properties),
                 summary={"compacted_buckets": len(todo), "new_files": n_new},
                 deltas=new_deltas,
+                dvs=new_dvs,
             )
             try:
                 write_snapshot(self.path, new_snap)
@@ -1006,7 +1237,10 @@ class LakeTable:
         phys = self._physical_schema(user_schema)
         key, ts_col = snap.properties["key"], snap.properties["ts_col"]
         df = self._read_files(snap.all_files() + snap.all_deltas(), phys)
-        if snap.all_deltas():
+        if snap.all_deltas() or snap.all_dvs():
+            # DV-folded buckets still carry masked losers in their base
+            # files; the (ts, offset) rule re-identifies them, so one LWW
+            # resolve covers deltas and delete vectors alike
             df = self._resolve_lww(df, key, ts_col)
         n_out = max(1, int(target_files_per_bucket))
         df = df.withColumn(
@@ -1075,6 +1309,7 @@ class LakeTable:
             s = self.snapshot(v)
             live.update(s.all_files())
             live.update(s.all_deltas())
+            live.update(s.all_dvs())
         removed = 0
         data_root = os.path.join(self.path, "data")
         if os.path.isdir(data_root):
