@@ -132,3 +132,72 @@ def fingerprint(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
         lambda acc, t: (acc * 131 + word_hash_expr(t)) % FP_MOD,
     )
     return df.select(F.col(id_col), fp.alias("fingerprint"))
+
+
+def repetition_signals(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 2
+) -> DataFrame:
+    """Gopher-style repetition filters (Rae et al. 2021, "Scaling Language
+    Models", App. A1.1): per-document word-n-gram repetition signals used to
+    drop boilerplate/spammy pages from web-scale training corpora —
+
+    - ``n_{n}grams``: total n-gram instances,
+    - ``dup_{n}gram_frac``: fraction of instances whose gram occurs more
+      than once in the document,
+    - ``top_{n}gram`` / ``top_{n}gram_count``: the most frequent n-gram
+      (ties broken by lexicographically smallest — deterministic),
+    - ``top_{n}gram_char_frac``: fraction of the document's characters
+      covered by occurrences of that top n-gram.
+
+    Scale: one explode + one (id, gram) hash aggregation with map-side
+    partial combine; the key space is balanced by construction (grams are
+    scoped per doc), so no skew handling is needed. All JVM-side.
+    """
+    p = f"{n}gram"
+    toks = _tokens(text_col)
+    base = df.select(
+        F.col(id_col),
+        F.length(F.col(text_col)).alias("_n_chars"),
+        toks.alias("_toks"),
+    )
+    grams_arr = F.when(
+        F.size("_toks") >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size("_toks") - (n - 1)),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at("_toks", i + j) for j in range(n)]
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    counts = (
+        base.select(id_col, "_n_chars", F.explode(grams_arr).alias("_gram"))
+        .groupBy(id_col, "_n_chars", "_gram")
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+    )
+    per_doc = counts.groupBy(id_col).agg(
+        F.sum("_cnt").alias(f"n_{p}s"),
+        F.round(
+            F.sum(F.when(F.col("_cnt") > 1, F.col("_cnt")).otherwise(0))
+            / F.sum("_cnt"), 6,
+        ).alias(f"dup_{p}_frac"),
+        F.min_by(
+            F.struct(F.col("_gram"), F.col("_cnt")),
+            F.struct((-F.col("_cnt")).alias("_nc"), F.col("_gram")),
+        ).alias("_top"),
+        F.first("_n_chars").alias("_n_chars"),
+    )
+    out = base.select(id_col).join(per_doc, id_col, "left")
+    return out.select(
+        F.col(id_col),
+        F.coalesce(F.col(f"n_{p}s"), F.lit(0)).alias(f"n_{p}s"),
+        F.coalesce(F.col(f"dup_{p}_frac"), F.lit(0.0)).alias(f"dup_{p}_frac"),
+        F.col("_top._gram").alias(f"top_{p}"),
+        F.coalesce(F.col("_top._cnt"), F.lit(0)).alias(f"top_{p}_count"),
+        F.coalesce(
+            F.round(
+                F.col("_top._cnt") * F.length("_top._gram") / F.col("_n_chars"),
+                6,
+            ),
+            F.lit(0.0),
+        ).alias(f"top_{p}_char_frac"),
+    )

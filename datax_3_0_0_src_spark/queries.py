@@ -496,6 +496,37 @@ FROM r
 """
 
 
+def doc_repetition(spark, sf_dir):
+    """Gopher-style repetition signals (dup/top word-2gram fractions)."""
+    return textstats.repetition_signals(_t(spark, sf_dir, "documents"), n=2)
+
+
+DOC_REPETITION_SQL = r"""
+WITH t AS (SELECT doc_id, len(text) AS n_chars,
+                  string_split_regex(trim(text), '\s+') AS toks FROM documents),
+g AS (SELECT doc_id,
+             unnest(list_transform(range(1, len(toks)),
+                                   i -> toks[i] || ' ' || toks[i+1])) AS gram
+      FROM t WHERE len(toks) >= 2),
+c AS (SELECT doc_id, gram, count(*) AS cnt FROM g GROUP BY doc_id, gram),
+d AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_2grams,
+             round(sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) * 1.0
+                   / sum(cnt), 6) AS dup_2gram_frac
+      FROM c GROUP BY doc_id),
+top AS (SELECT doc_id, gram, cnt FROM c
+        QUALIFY row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY cnt DESC, gram ASC) = 1)
+SELECT t.doc_id,
+       coalesce(d.n_2grams, 0) AS n_2grams,
+       coalesce(d.dup_2gram_frac, 0) AS dup_2gram_frac,
+       top.gram AS top_2gram,
+       CAST(coalesce(top.cnt, 0) AS BIGINT) AS top_2gram_count,
+       coalesce(round(top.cnt * len(top.gram) * 1.0 / t.n_chars, 6), 0)
+           AS top_2gram_char_frac
+FROM t LEFT JOIN d USING (doc_id) LEFT JOIN top USING (doc_id)
+"""
+
+
 def doc_lang_id(spark, sf_dir):
     return textstats.lang_id(_t(spark, sf_dir, "documents"))
 
@@ -1266,6 +1297,7 @@ QUERIES: dict[str, Query] = {
     "doc_token_stats": doc_token_stats,
     "doc_token_bpe": doc_token_bpe,
     "doc_quality": doc_quality,
+    "doc_repetition": doc_repetition,
     "doc_lang_id": doc_lang_id,
     "doc_fingerprint": doc_fingerprint,
     "doc_exact_dedup": doc_exact_dedup,
@@ -1302,6 +1334,7 @@ ORACLES: dict[str, str] = {
     "doc_token_stats": DOC_TOKEN_STATS_SQL,
     "doc_token_bpe": DOC_TOKEN_BPE_SQL,
     "doc_quality": DOC_QUALITY_SQL,
+    "doc_repetition": DOC_REPETITION_SQL,
     "doc_lang_id": DOC_LANG_ID_SQL,
     "doc_fingerprint": DOC_FINGERPRINT_SQL,
     "doc_exact_dedup": DOC_EXACT_DEDUP_SQL,

@@ -373,3 +373,35 @@ def test_url_canonicalize_rules(spark):
     again = {r["i"]: r["canonical_url"]
              for r in with_canonical_url(df2).collect()}
     assert again == got
+
+
+def test_repetition_signals_gopher(spark):
+    """dup/top n-gram fractions: hand-computed fixtures incl. tie-break,
+    no-repetition, and sub-n-token documents."""
+    rows = [
+        # "a b a b a" -> 2grams: [a b, b a, a b, b a]; all duplicated;
+        # top = "a b" (count 2, ties with "b a" -> lexicographic min wins)
+        (1, "a b a b a"),
+        # no repeated 2gram
+        (2, "x y z"),
+        # single token: no 2grams at all
+        (3, "solo"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {r["doc_id"]: r.asDict()
+           for r in textstats.repetition_signals(df).collect()}
+    r1 = got[1]
+    assert r1["n_2grams"] == 4
+    assert r1["dup_2gram_frac"] == 1.0
+    assert r1["top_2gram"] == "a b"
+    assert r1["top_2gram_count"] == 2
+    # "a b a b a" has 9 chars; top gram "a b" (3 chars) x2 = 6/9
+    assert r1["top_2gram_char_frac"] == round(6 / 9, 6)
+    r2 = got[2]
+    assert r2["n_2grams"] == 2
+    assert r2["dup_2gram_frac"] == 0.0
+    assert r2["top_2gram_count"] == 1
+    r3 = got[3]
+    assert r3["n_2grams"] == 0
+    assert r3["top_2gram"] is None
+    assert r3["top_2gram_char_frac"] == 0.0
