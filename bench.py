@@ -64,6 +64,7 @@ HEADLINE = [
     "tpch_q3_shipping",
     "tpch_q5_nation_revenue",
     "events_sessionize",
+    "doc_repetition",
     "doc_fingerprint",
     "doc_minhash_signatures",
     "doc_ngram_jaccard",

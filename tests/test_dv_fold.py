@@ -218,3 +218,47 @@ def test_dv_strategy_rejects_unknown(spark, tmp_path):
     t = seed_mor(spark, str(tmp_path / "t"))
     with pytest.raises(ValueError, match="strategy"):
         t.compact(strategy="bogus")
+
+
+def test_dv_cas_preserves_delta_layered_after_fold_read(spark, tmp_path):
+    """A MOR merge landing BETWEEN the DV fold's snapshot read and its commit
+    must survive: the CAS re-layer keeps the unread delta as a delta, and the
+    read resolves (DV-masked base + late delta) exactly."""
+    t = make_table(spark, str(tmp_path / "t"), nb=2)
+    t.merge(batch(spark, [("a", "2024-01-01T00:00:00", "<x>", "A1", "en", 0, "I"),
+                          ("b", "2024-01-01T00:00:01", "<x>", "B1", "en", 1, "I")]),
+            mode="mor")
+    t.merge(batch(spark, [("a", "2024-01-01T00:05:00", "<x>", "A1b", "en", 2, "U")]),
+            mode="mor")
+    stale = t.snapshot()
+    todo = sorted(int(b) for b in stale.deltas)
+    # a concurrent merge lands after the DV fold's read...
+    t.merge(batch(spark, [("a", "2024-01-02T00:00:00", "<x>", "A2", "en", 5, "U")]),
+            mode="mor")
+    # ...then the DV fold (computed from the stale snapshot) commits
+    t._fold_dv(stale, todo)
+    snap = t.snapshot()
+    assert snap.all_deltas(), "late delta must survive the DV fold commit"
+    got = state(t)
+    assert got["a"][1] == "A2" and got["b"][1] == "B1"
+    # a follow-up DV fold absorbs the late delta too
+    t.compact(strategy="dv")
+    assert all(not v for v in t.snapshot().deltas.values())
+    assert state(t) == got
+
+
+def test_dv_same_bucket_conflict_detected(spark, tmp_path):
+    """A rewrite fold committing between the DV fold's read and its commit
+    changes the bucket's base files — the stale DV commit must fail loudly
+    (its positions no longer describe the live files)."""
+    t = make_table(spark, str(tmp_path / "t"), nb=2)
+    t.merge(batch(spark, [("a", "2024-01-01T00:00:00", "<x>", "A1", "en", 0, "I"),
+                          ("b", "2024-01-01T00:00:01", "<x>", "B1", "en", 1, "I")]),
+            mode="mor")
+    t.merge(batch(spark, [("a", "2024-01-01T00:05:00", "<x>", "A2", "en", 2, "U")]),
+            mode="mor")
+    stale = t.snapshot()
+    todo = sorted(int(b) for b in stale.deltas)
+    t.compact(strategy="local", target_files_per_bucket=1)  # rewrite wins
+    with pytest.raises(RuntimeError, match="concurrent compaction"):
+        t._fold_dv(stale, todo)
