@@ -212,6 +212,29 @@ def test_overlapped_fold_same_state_and_fully_folded(spark, log_and_work):
     assert_state_matches(rep2, CFG)
 
 
+def test_overlapped_dv_fold_same_state(spark, log_and_work):
+    """compact_strategy='dv' through the replayer: overlapped DV minor folds
+    + the tail fold leave ZERO deltas (all promoted), delete vectors
+    attached, and the read byte-identical to the oracle."""
+    log_dir, work, table = log_and_work
+    rep = make_replayer(spark, log_dir, work, table,
+                        merge_mode="mor", dedup_per_batch=False,
+                        single_pass=True, lineage_level="global",
+                        max_events_per_batch=400, max_concurrent_batches=3,
+                        compact_every=2, compact_overlap=True,
+                        compact_strategy="dv")
+    results = rep.run()
+    assert len(results) == 9
+    assert_state_matches(rep, CFG)
+    snap = rep.table.snapshot()
+    assert all(not v for v in snap.deltas.values())
+    assert snap.all_dvs()  # the WAL carries updates/deletes -> losers exist
+    # a maintenance rewrite afterwards converges to the same state
+    rep.table.compact(target_files_per_bucket=2, strategy="local")
+    assert not rep.table.snapshot().all_dvs()
+    assert_state_matches(rep, CFG)
+
+
 def test_overlap_requires_compact_every(spark, tmp_path):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="compact_every"):
