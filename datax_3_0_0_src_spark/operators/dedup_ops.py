@@ -121,15 +121,33 @@ def minhash_signatures(
     """
     sh = shingles_expr(text_col, shingle_n)
     hashed = F.transform(F.array_distinct(sh), word_hash_expr)
-    def perm(ai, bi):
-        # closure (not default args): pyspark infers HOF arity from the lambda
-        return lambda h: (h * ai + bi) % FP_MOD
+    # ONE pass over the shingle hashes with a k-way struct accumulator of
+    # running minima. Two Spark 4.1 realities force this shape: (a) HOF
+    # lambdas fall back to interpreted eval with NO common-subexpression
+    # elimination, so k separate array_min(transform(hashed, perm_i))
+    # columns each re-run the per-char rolling hash (measured: k=4 costs
+    # 4x k=1); (b) extracting k struct fields from the aggregate in a plain
+    # Project re-evaluates it k times for the same reason — materialize it
+    # ONCE through a generator (explode of a 1-element array), which
+    # CollapseProject cannot inline back.
+    zero = F.struct(*[
+        F.lit(FP_MOD).cast("long").alias(f"m{i}") for i in range(k)
+    ])
 
-    cols = [F.col(id_col)]
-    for i in range(k):
-        ai, bi = MINHASH_AB[i]
-        cols.append(F.array_min(F.transform(hashed, perm(ai, bi))).alias(f"mh{i}"))
-    return df.select(*cols)
+    def step(acc, h):
+        return F.struct(*[
+            F.least(
+                acc[f"m{i}"],
+                (h * MINHASH_AB[i][0] + MINHASH_AB[i][1]) % FP_MOD,
+            ).alias(f"m{i}")
+            for i in range(k)
+        ])
+
+    mins = F.aggregate(hashed, zero, step)
+    out = df.select(F.col(id_col), F.explode(F.array(mins)).alias("_m"))
+    return out.select(
+        F.col(id_col), *[F.col("_m")[f"m{i}"].alias(f"mh{i}") for i in range(k)]
+    )
 
 
 def band_hash_expr(parts, band: int):
