@@ -502,3 +502,43 @@ def _components_star(
         .select(F.col("n").alias("node"),
                 F.coalesce("component", F.col("n")).alias("component"))
     )
+
+
+def crossdoc_dup_spans(
+    df: DataFrame, *, id_col: str = "doc_id", text_col: str = "text", n: int = 8
+) -> DataFrame:
+    """Cross-document duplicated-span statistics — the n-gram-window
+    approximation of exact-substring training-data dedup (Lee et al. 2021,
+    "Deduplicating Training Data Makes Language Models Better": repeated
+    >=50-token substrings across a corpus; here the window is ``n`` tokens
+    to fit short docs). A position is DUPLICATED when its n-token window
+    occurs anywhere else in the corpus (another document, or the same one
+    again). Per doc: total windows, duplicated windows, duplicated fraction
+    — the removal criterion a span-dedup pass would act on.
+
+    Scale: explode to (doc, window) rows — linear in corpus tokens; ONE
+    global hash aggregation on the window (map-side partial combine) for
+    occurrence counts; the join back is on the same key, so the exchange is
+    reused (co-partitioned); then a per-doc agg. No driver-side state, no
+    quadratic pair join.
+    """
+    w = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(shingles_expr(text_col, n)).alias("_w"),
+    )
+    counts = w.groupBy("_w").agg(F.count(F.lit(1)).alias("_c"))
+    return (
+        w.join(counts, "_w")
+        .groupBy("_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_windows"),
+            F.sum(F.when(F.col("_c") > 1, 1).otherwise(0)).alias("n_dup_windows"),
+        )
+        .select(
+            F.col("_id").alias(id_col),
+            "n_windows",
+            "n_dup_windows",
+            F.round(F.col("n_dup_windows") / F.col("n_windows"), 6)
+            .alias("dup_window_frac"),
+        )
+    )

@@ -573,6 +573,26 @@ FROM t
 
 
 # ================================================================== dedup ops
+def doc_dup_spans(spark, sf_dir):
+    """Cross-document duplicated-span stats (substring-dedup approximation)."""
+    return dedup_ops.crossdoc_dup_spans(_t(spark, sf_dir, "documents"), n=8)
+
+
+DOC_DUP_SPANS_SQL = r"""
+WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+w AS (SELECT doc_id, unnest(CASE WHEN len(toks) >= 8
+        THEN list_transform(range(1, len(toks) - 6), i -> array_to_string(toks[i:i+7], ' '))
+        ELSE [array_to_string(toks, ' ')] END) AS w FROM t),
+c AS (SELECT w, count(*) AS c FROM w GROUP BY w),
+d AS (SELECT doc_id, count(*) AS n_windows,
+             CAST(sum(CASE WHEN c.c > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_windows
+      FROM w JOIN c USING (w) GROUP BY doc_id)
+SELECT doc_id, n_windows, n_dup_windows,
+       round(n_dup_windows * 1.0 / n_windows, 6) AS dup_window_frac
+FROM d
+"""
+
+
 def doc_exact_dedup(spark, sf_dir):
     return dedup_ops.exact_dedup(_t(spark, sf_dir, "documents"))
 
@@ -1300,6 +1320,7 @@ QUERIES: dict[str, Query] = {
     "doc_repetition": doc_repetition,
     "doc_lang_id": doc_lang_id,
     "doc_fingerprint": doc_fingerprint,
+    "doc_dup_spans": doc_dup_spans,
     "doc_exact_dedup": doc_exact_dedup,
     "doc_minhash_signatures": doc_minhash_signatures,
     "doc_simhash": doc_simhash,
@@ -1337,6 +1358,7 @@ ORACLES: dict[str, str] = {
     "doc_repetition": DOC_REPETITION_SQL,
     "doc_lang_id": DOC_LANG_ID_SQL,
     "doc_fingerprint": DOC_FINGERPRINT_SQL,
+    "doc_dup_spans": DOC_DUP_SPANS_SQL,
     "doc_exact_dedup": DOC_EXACT_DEDUP_SQL,
     "doc_minhash_signatures": DOC_MINHASH_SQL,
     "doc_simhash": DOC_SIMHASH_SQL,

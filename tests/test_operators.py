@@ -405,3 +405,27 @@ def test_repetition_signals_gopher(spark):
     assert r3["n_2grams"] == 0
     assert r3["top_2gram"] is None
     assert r3["top_2gram_char_frac"] == 0.0
+
+
+def test_crossdoc_dup_spans(spark):
+    """A passage shared by two docs marks exactly its windows duplicated;
+    unique docs read 0; an intra-doc repeat also counts."""
+    shared = "w1 w2 w3 w4 w5 w6 w7 w8"  # one exact 8-token window
+    rows = [
+        (1, shared + " tail1 tail2"),
+        (2, "head1 head2 " + shared),
+        (3, "u1 u2 u3 u4 u5 u6 u7 u8 u9"),
+        (4, "r1 r2 r3 r4 r5 r6 r7 r8 r1 r2 r3 r4 r5 r6 r7 r8"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {r["doc_id"]: r.asDict()
+           for r in dedup_ops.crossdoc_dup_spans(df, n=8).collect()}
+    # doc1: 3 windows, only the first (the shared passage) duplicated
+    assert got[1]["n_windows"] == 3 and got[1]["n_dup_windows"] == 1
+    # doc2: 3 windows, only the last duplicated
+    assert got[2]["n_windows"] == 3 and got[2]["n_dup_windows"] == 1
+    # doc3: unique
+    assert got[3]["n_dup_windows"] == 0 and got[3]["dup_window_frac"] == 0.0
+    # doc4: 16 tokens -> 9 windows; window at pos 1 ("r1..r8") == window at
+    # pos 9 -> both duplicated; the rest are unique rotations
+    assert got[4]["n_windows"] == 9 and got[4]["n_dup_windows"] == 2
