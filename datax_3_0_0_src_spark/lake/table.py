@@ -41,7 +41,9 @@ import uuid
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
-from pyspark.sql.types import BooleanType, LongType, StructField, StructType
+from pyspark.sql.types import (
+    BooleanType, LongType, StringType, StructField, StructType,
+)
 
 from .manifest import Snapshot, read_snapshot, write_snapshot
 
@@ -318,6 +320,71 @@ class LakeTable:
         if not with_sys_cols:
             df = df.select(*user_schema.fieldNames())
         return df
+
+    def changes(
+        self, since_version: int, until_version: int | None = None
+    ) -> DataFrame:
+        """Change data feed (Delta CDF / Iceberg changelog-scan equivalent)
+        for MOR-maintained tables: the row-level changes committed in
+        ``(since_version, until_version]``.
+
+        Zero extra storage: each MOR merge's delta files ARE the changelog
+        (upserts as rows, deletes as tombstone rows, the LWW (ts, offset)
+        attached), so the feed is the per-version set difference of delta
+        file lists — driver-side manifest JSON only — plus a parquet scan of
+        exactly the added files. Fold commits (rewrite or delete-vector) and
+        rebucket move data without adding logical changes and are skipped;
+        a COW merge in the range raises (it folds its changes into rewritten
+        base files and retains no row-level record). Requires the range's
+        manifests to still exist (``expire_snapshots`` keep window).
+
+        Output: the commit-time user columns (schema evolution null-backfills
+        older commits) + ``_change_type`` ('upsert' | 'delete'),
+        ``_commit_version``, and ``_change_offset`` (the WAL sequence).
+        """
+        import json as _json
+
+        until = self.snapshot().version if until_version is None else until_version
+        prev = set(self.snapshot(since_version).all_deltas())
+        out = None
+        latest_user = None
+        for v in range(since_version + 1, until + 1):
+            s = self.snapshot(v)
+            cur = set(s.all_deltas())
+            added = sorted(cur - prev)
+            prev = cur  # folds only REMOVE deltas — removals are not changes
+            summ = s.summary or {}
+            if summ.get("touched_buckets", 0) and summ.get("merge_mode") != "mor":
+                raise ValueError(
+                    f"v{v} is a copy-on-write merge: its row-level changes "
+                    f"were folded into rewritten base files and cannot be "
+                    f"replayed — the changes feed requires MOR history"
+                )
+            user_schema = StructType.fromJson(_json.loads(s.schema_json))
+            latest_user = user_schema
+            if not added:
+                continue
+            phys = self._physical_schema(user_schema)
+            df = self._read_files(added, phys).select(
+                *[F.col(f.name) for f in user_schema.fields],
+                F.when(F.coalesce(F.col(SYS_DELETED), F.lit(False)), "delete")
+                .otherwise("upsert").alias("_change_type"),
+                F.lit(v).alias("_commit_version"),
+                F.col(SYS_OFFSET).alias("_change_offset"),
+            )
+            out = df if out is None else out.unionByName(
+                df, allowMissingColumns=True)
+        if out is None:
+            user = latest_user or StructType.fromJson(
+                _json.loads(self.snapshot(until).schema_json))
+            empty = StructType(
+                list(user.fields)
+                + [StructField("_change_type", StringType()),
+                   StructField("_commit_version", LongType()),
+                   StructField("_change_offset", LongType())]
+            )
+            return self.spark.createDataFrame([], empty)
+        return out
 
     # ------------------------------------------------------------ merge path
     def merge(

@@ -180,6 +180,66 @@ def cdc_replay_fused(spark, sf_dir):
     return rep.table.read().select("url", "warc_ts", "lang")
 
 
+_CHANGES_BASE = os.path.join(tempfile.gettempdir(), "cdc_changes_42_20000")
+
+
+def cdc_changes_feed(spark, sf_dir):
+    """Change-data-feed consumer (Delta CDF / Iceberg changelog-scan parity,
+    LakeTable.changes): replay the WAL into a MOR table with raw delta
+    layering (no per-batch dedup), then read every row-level change committed
+    since v0 from the manifest's delta-file history — upserts as rows,
+    deletes as tombstones. The oracle is the WAL's validity filter with the
+    op mapped to the change type: the feed must be exactly the valid events,
+    no more, no less."""
+    import shutil
+
+    from .cdc.gen import EventGenConfig, write_event_log
+    from .cdc.replayer import ReplayConfig, Replayer
+
+    cfg = EventGenConfig(seed=42, n_events=20_000, events_per_epoch=5_000)
+    base = _CHANGES_BASE
+    log_dir = os.path.join(base, "wal")
+    if not os.path.isdir(log_dir):
+        write_event_log(spark, cfg, log_dir, slices=8)
+    for sub in ("pages", "work"):
+        shutil.rmtree(os.path.join(base, sub), ignore_errors=True)
+    rep = Replayer(
+        spark,
+        ReplayConfig(
+            log_dir=log_dir,
+            table_path=os.path.join(base, "pages"),
+            work_dir=os.path.join(base, "work"),
+            num_buckets=16,
+            merge_mode="mor",
+            dedup_per_batch=False,
+            single_pass=True,
+            lineage_level="global",
+        ),
+    )
+    rep.run()
+    ch = rep.table.changes(0)
+    return ch.select(
+        "url",
+        "warc_ts",
+        F.col("_change_type").alias("change_type"),
+        F.col("_change_offset").alias("log_offset"),
+    )
+
+
+CDC_CHANGES_FEED_SQL = f"""
+WITH w AS (SELECT * FROM read_parquet('{_CHANGES_BASE}/wal/epoch=*/*.parquet')),
+v AS (SELECT * FROM w
+      WHERE url IS NOT NULL AND warc_ts IS NOT NULL
+        AND (op = 'D' OR (html IS NOT NULL
+             AND CAST(html AS VARCHAR) LIKE '<html>%'
+             AND CAST(html AS VARCHAR) LIKE '%</body></html>')))
+SELECT url, timezone('UTC', warc_ts) AS warc_ts,
+       CASE WHEN op = 'D' THEN 'delete' ELSE 'upsert' END AS change_type,
+       log_offset
+FROM v
+"""
+
+
 def cdc_cell_changes(spark, sf_dir):
     """Cell-change output mode: one row per changed cell with an op tag and a
     per-event sequence id — the reference's MULTI_VERSION record shape
@@ -1306,6 +1366,7 @@ QUERIES: dict[str, Query] = {
     "cdc_replay_snapshot": cdc_replay_snapshot,
     "cdc_replay_fused": cdc_replay_fused,
     "cdc_cell_changes": cdc_cell_changes,
+    "cdc_changes_feed": cdc_changes_feed,
     "tpch_q1_pricing": tpch_q1_pricing,
     "tpch_q3_shipping": tpch_q3_shipping,
     "tpch_q5_nation_revenue": tpch_q5_nation_revenue,
@@ -1344,6 +1405,7 @@ ORACLES: dict[str, str] = {
     "cdc_lww_latest": CDC_LWW_LATEST_SQL,
     "cdc_apply_changes": CDC_APPLY_CHANGES_SQL,
     "cdc_cell_changes": CDC_CELL_CHANGES_SQL,
+    "cdc_changes_feed": CDC_CHANGES_FEED_SQL,
     "tpch_q1_pricing": TPCH_Q1_SQL,
     "tpch_q3_shipping": TPCH_Q3_SQL,
     "tpch_q5_nation_revenue": TPCH_Q5_SQL,
