@@ -20,6 +20,7 @@ import os
 import socket
 import socketserver
 import threading
+import uuid
 
 
 class _FtpHandler(socketserver.StreamRequestHandler):
@@ -145,6 +146,149 @@ class HttpStubServer:
         self._thread = threading.Thread(target=self.server.serve_forever, daemon=True)
 
     def __enter__(self) -> "HttpStubServer":
+        self._thread.start()
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.server.shutdown()
+        self.server.server_close()
+
+
+class _EsHandler(http.server.BaseHTTPRequestHandler):
+    """Minimal Elasticsearch wire-protocol stub: _bulk NDJSON (index/update
+    actions, per-item statuses, induced failures via a 'poison' field),
+    index PUT/DELETE, and _aliases."""
+
+    def log_message(self, *a) -> None:
+        pass
+
+    def _json(self, status: int, obj) -> None:
+        body = json.dumps(obj).encode()
+        self.send_response(status)
+        self.send_header("Content-Type", "application/json")
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+    def _body(self) -> bytes:
+        return self.rfile.read(int(self.headers.get("Content-Length", 0)))
+
+    def do_POST(self) -> None:
+        s = self.server
+        path = self.path.split("?", 1)[0]
+        body = self._body()
+        if path == "/_aliases":
+            for act in json.loads(body)["actions"]:
+                if "add" in act:
+                    s.aliases[act["add"]["alias"]] = act["add"]["index"]
+                elif "remove" in act:
+                    s.aliases.pop(act["remove"]["alias"], None)
+            self._json(200, {"acknowledged": True})
+            return
+        if path.endswith("/_bulk"):
+            lines = [ln for ln in body.decode().split("\n") if ln]
+            items, i = [], 0
+            while i < len(lines):
+                (verb, meta), = json.loads(lines[i]).items()
+                src = json.loads(lines[i + 1])
+                i += 2
+                doc = src["doc"] if verb == "update" else src
+                if doc.get("poison"):
+                    items.append({verb: {"status": 400, "error": {
+                        "type": "document_parsing_exception"}}})
+                    continue
+                _id = meta.get("_id") or uuid.uuid4().hex
+                key = (meta["_index"], _id)
+                if verb == "update" and key in s.docs:
+                    s.docs[key].update(doc)
+                else:
+                    s.docs[key] = dict(doc)
+                items.append({verb: {"status": 200}})
+            self._json(200, {"errors": any(
+                next(iter(x.values()))["status"] >= 300 for x in items),
+                "items": items})
+            return
+        self.send_error(404)
+
+    def do_PUT(self) -> None:
+        s = self.server
+        body = self._body()
+        s.indices[self.path.strip("/")] = json.loads(body or b"{}")
+        self._json(200, {"acknowledged": True})
+
+    def do_DELETE(self) -> None:
+        s = self.server
+        name = self.path.strip("/")
+        existed = s.indices.pop(name, None) is not None
+        for key in [k for k in s.docs if k[0] == name]:
+            del s.docs[key]
+        self._json(200 if existed else 404,
+                   {"acknowledged": existed})
+
+
+class EsStubServer:
+    def __init__(self):
+        self.server = http.server.ThreadingHTTPServer(("127.0.0.1", 0), _EsHandler)
+        self.server.daemon_threads = True
+        self.server.docs = {}      # (index, _id) -> doc
+        self.server.indices = {}   # name -> creation body
+        self.server.aliases = {}   # alias -> index
+        self.port = self.server.server_address[1]
+        self._thread = threading.Thread(target=self.server.serve_forever, daemon=True)
+
+    def __enter__(self) -> "EsStubServer":
+        self._thread.start()
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.server.shutdown()
+        self.server.server_close()
+
+
+class _ChHandler(http.server.BaseHTTPRequestHandler):
+    """Minimal ClickHouse HTTP-interface stub: ?query=INSERT INTO t (...)
+    FORMAT JSONEachRow with an NDJSON body (rows with 'poison' make the
+    whole statement fail with a CH-style 500), other queries recorded."""
+
+    def log_message(self, *a) -> None:
+        pass
+
+    def do_POST(self) -> None:
+        import re
+        from urllib.parse import parse_qs, unquote, urlparse
+
+        s = self.server
+        q = parse_qs(urlparse(self.path).query).get("query", [""])[0]
+        q = unquote(q)
+        body = self.rfile.read(int(self.headers.get("Content-Length", 0)))
+        m = re.match(r"INSERT INTO (\S+) \(([^)]*)\) FORMAT JSONEachRow", q)
+        if m:
+            rows = [json.loads(ln) for ln in body.decode().split("\n") if ln]
+            if any(r.get("poison") for r in rows):
+                err = b"Code: 27. DB::Exception: Cannot parse input"
+                self.send_response(500)
+                self.send_header("Content-Length", str(len(err)))
+                self.end_headers()
+                self.wfile.write(err)
+                return
+            s.tables.setdefault(m.group(1), []).extend(rows)
+        else:
+            s.sqls.append(q)
+        self.send_response(200)
+        self.send_header("Content-Length", "0")
+        self.end_headers()
+
+
+class ChStubServer:
+    def __init__(self):
+        self.server = http.server.ThreadingHTTPServer(("127.0.0.1", 0), _ChHandler)
+        self.server.daemon_threads = True
+        self.server.tables = {}
+        self.server.sqls = []
+        self.port = self.server.server_address[1]
+        self._thread = threading.Thread(target=self.server.serve_forever, daemon=True)
+
+    def __enter__(self) -> "ChStubServer":
         self._thread.start()
         return self
 
