@@ -286,6 +286,95 @@ def test_concurrent_exactly_once_kill_soak(spark, log_and_work):
         assert n_delta == n_base_delta, f"seed {seed} ({mode})"
 
 
+def test_overlapped_dv_fold_kill_soak(spark, log_and_work):
+    """Exactly-once under crashes WITH background DV folds racing the apply:
+    kill a merge, a checkpoint write, or the overlapped fold itself; resume
+    with the identical config must converge to the uninterrupted baseline
+    state with every WAL event present exactly once in the physical rows
+    (DV folds promote deltas but never drop rows)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    log_dir, work, table = log_and_work
+
+    class Kill(RuntimeError):
+        pass
+
+    conc = dict(max_events_per_batch=500, max_concurrent_batches=4,
+                compact_every=2, compact_overlap=True, compact_strategy="dv")
+
+    base = make(spark, log_dir, work + "_db", table + "_db", **conc)
+    base.run()
+    exp = (base.table.read().toPandas()
+           .sort_values("url").reset_index(drop=True))
+    n_batches = len(base.plan_batches())
+
+    def physical_rows(rep):
+        snap = rep.table.snapshot()
+        paths = [f"{rep.table.path}/{rel}"
+                 for b in range(rep.table.num_buckets)
+                 for rel in snap.bucket_files(b) + snap.bucket_deltas(b)]
+        df = spark.read.parquet(*paths)
+        dups = (df.groupBy("url", "_lww_offset").count()
+                .filter(F.col("count") > 1).count())
+        return df.count(), dups
+
+    n_rows_base, dups_base = physical_rows(base)
+    assert dups_base == 0
+
+    for seed in range(8):
+        rng = random.Random(1000 + seed)
+        mode = rng.choice(["pre_merge", "post_commit_pre_checkpoint", "fold"])
+        target = rng.randrange(n_batches)
+        w, t = f"{work}_dk{seed}", f"{table}_dk{seed}"
+        rep = make(spark, log_dir, w, t, **conc)
+        if mode == "fold":
+            orig_compact, calls = rep.table.compact, []
+
+            def compact(*a, _o=orig_compact, _c=calls, **kw):
+                _c.append(1)
+                if len(_c) == 1:
+                    raise Kill("kill first overlapped fold")
+                return _o(*a, **kw)
+
+            rep.table.compact = compact
+        elif mode == "post_commit_pre_checkpoint":
+            orig_ckpt, fired = rep._write_checkpoint, []
+
+            def ckpt(res, _o=orig_ckpt, _f=fired, _t=target):
+                if res.batch_id == _t and not _f:
+                    _f.append(1)
+                    raise Kill(f"kill post-commit batch {_t}")
+                _o(res)
+
+            rep._write_checkpoint = ckpt
+        else:
+            orig_merge, calls = rep.table.merge, []
+
+            def merge(*a, _o=orig_merge, _c=calls, _t=target, **kw):
+                _c.append(1)
+                if len(_c) - 1 == _t:
+                    raise Kill(f"kill pre-merge call {_t}")
+                return _o(*a, **kw)
+
+            rep.table.merge = merge
+        try:
+            rep.run()
+        except (Kill, RuntimeError):
+            pass
+
+        resumed = make(spark, log_dir, w, t, **conc)
+        resumed.run()
+        got = (resumed.table.read().toPandas()
+               .sort_values("url").reset_index(drop=True))
+        assert list(got["url"]) == list(exp["url"]), f"seed {seed} ({mode})"
+        assert list(got["text"]) == list(exp["text"]), f"seed {seed} ({mode})"
+        n_rows, dups = physical_rows(resumed)
+        assert dups == 0, f"seed {seed} ({mode}): duplicated (url, offset)"
+        assert n_rows == n_rows_base, f"seed {seed} ({mode})"
+
+
 def test_single_pass_normalizes_lineage_level(spark, log_and_work):
     """ADVICE round-3: single_pass cannot produce per-bucket read/dedup
     lineage; requesting 'bucket' alongside it must warn and normalize to
