@@ -529,7 +529,36 @@ def main() -> None:
             os.environ.get("BENCH_MAX_EXTRA_PAIRS", "2")):
         extra += 1
         run_pair(rep=1, fold=True)  # large-then-small; fold re-timed
-    flag_contamination()
+    n_clean = flag_contamination()
+
+    # Co-tenant fallback (round 5): the observed failure mode is a tenant
+    # parked on part of the socket for HOURS — every full-width (CPUS) child
+    # reads steal 0.03-0.12 and cpu_frac ~0.6 while quarter-socket children
+    # run clean, so no (small, CPUS) pair can ever be clean no matter how
+    # many replacements run. The brief's criterion is "N and 4N cores", so
+    # when zero pairs survive the gate, measure ONE (CPUS/8, CPUS/2) pair —
+    # identical job, identical 4x ratio — which FITS in the capacity the
+    # co-tenant leaves. Recorded separately, with its own gauges, never
+    # silently substituted into the primary estimator.
+    fallback = None
+    if n_clean == 0 and CPUS >= 16:
+        fb_small, fb_large = max(2, CPUS // 8), CPUS // 2
+        fdt_l, _, fn_l, fnz_l = replay_subprocess(fb_large, do_fold=False)
+        time.sleep(int(os.environ.get("BENCH_COOLDOWN_S", "15")))
+        fdt_s, _, fn_s, fnz_s = replay_subprocess(fb_small, do_fold=False)
+        allnoise = [nz for ls in loads.values() for nz in ls]
+        best_st = min(nz["probe_st_s"] for nz in allnoise + [fnz_s, fnz_l])
+        best_bw = max(nz["probe_bw_gbs"] for nz in allnoise + [fnz_s, fnz_l])
+        for nz in (fnz_s, fnz_l):
+            nz["contaminated"] = contaminated(nz, best_st, best_bw)
+        fallback = {
+            "cores": [fb_small, fb_large],
+            "eff": round((fdt_s / fdt_l) / (fb_large / fb_small), 3),
+            "clean": not (fnz_s["contaminated"] or fnz_l["contaminated"]),
+            "times": [round(fdt_s, 2), round(fdt_l, 2)],
+        }
+        loads[fb_small] = [fnz_s]
+        loads[fb_large] = [fnz_l]
 
     def best_clean(vals: list[float], noises: list[dict]) -> float:
         clean = [v for v, nz in zip(vals, noises) if not nz["contaminated"]]
@@ -610,6 +639,9 @@ def main() -> None:
             max((p["eff"] for p in pairs if p["clean"]),
                 default=max(p["eff"] for p in pairs)), 3) if pairs else None,
         "extra_pairs_run": extra,
+        # only present when every primary pair was co-tenant-contaminated:
+        # a quarter-scale (N, 4N) pair run inside the free capacity
+        **({"scaling_efficiency_fallback_pair": fallback} if fallback else {}),
         **({"scaling_efficiency_n_to_4n_low": round(efficiency_tiny, 3)}
            if with_tiny else {}),
         # fold = the DV (positional-delete) minor fold — the deferred LWW
