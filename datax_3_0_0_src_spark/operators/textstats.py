@@ -201,3 +201,51 @@ def repetition_signals(
             F.lit(0.0),
         ).alias(f"top_{p}_char_frac"),
     )
+
+
+def gopher_keep_filter(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    min_tokens: int = 20,
+    max_tokens: int = 100_000,
+    min_stopword_ratio: float = 0.02,
+    min_distinct_ratio: float = 0.35,
+    max_dup_2gram_frac: float = 0.6,
+) -> DataFrame:
+    """The Gopher-style KEEP/DROP decision (Rae et al. 2021, App. A1.1),
+    composed from the signal operators: length bounds, stopword-fraction
+    floor (natural-language-ness), distinct-token floor (anti-boilerplate),
+    and a duplicated-2gram ceiling (anti-spam). Emits the per-rule verdicts
+    so a pipeline can audit WHY a document was dropped, plus the final
+    ``keep`` — the exact shape a corpus-cleaning pass acts on.
+
+    Scale: three doc_id-keyed hash joins of per-doc signal tables — all
+    co-partitioned on the same key, no skew (doc_id is unique).
+    """
+    toks = _tokens(text_col)
+    base = df.select(
+        F.col(id_col),
+        F.size(toks).alias("n_tokens"),
+        (F.size(F.array_distinct(toks)) / F.size(toks)).alias("_dist_ratio"),
+        (F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS))) / F.size(toks))
+        .alias("_stop_ratio"),
+    )
+    rep = repetition_signals(df, id_col, text_col, n=2).select(
+        id_col, "dup_2gram_frac")
+    out = base.join(rep, id_col)
+    keep_len = (F.col("n_tokens") >= min_tokens) & (
+        F.col("n_tokens") <= max_tokens)
+    keep_stop = F.col("_stop_ratio") >= min_stopword_ratio
+    keep_dist = F.col("_dist_ratio") >= min_distinct_ratio
+    keep_rep = F.col("dup_2gram_frac") <= max_dup_2gram_frac
+    return out.select(
+        F.col(id_col),
+        F.col("n_tokens"),
+        keep_len.alias("keep_length"),
+        keep_stop.alias("keep_stopwords"),
+        keep_dist.alias("keep_distinct"),
+        keep_rep.alias("keep_repetition"),
+        (keep_len & keep_stop & keep_dist & keep_rep).alias("keep"),
+    )

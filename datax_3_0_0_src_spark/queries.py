@@ -587,6 +587,38 @@ FROM t LEFT JOIN d USING (doc_id) LEFT JOIN top USING (doc_id)
 """
 
 
+def doc_gopher_filter(spark, sf_dir):
+    """Gopher-style keep/drop verdicts composed from the signal operators."""
+    return textstats.gopher_keep_filter(_t(spark, sf_dir, "documents"))
+
+
+DOC_GOPHER_FILTER_SQL = rf"""
+WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+b AS (SELECT doc_id, len(toks) AS n_tokens,
+        len(list_distinct(toks)) * 1.0 / len(toks) AS dist_ratio,
+        len(list_filter(toks, x -> x IN ('{_SW}'))) * 1.0 / len(toks) AS stop_ratio
+      FROM t),
+g AS (SELECT doc_id,
+        unnest(CASE WHEN len(toks) >= 2
+          THEN list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])
+          ELSE [array_to_string(toks, ' ')] END) AS gram
+      FROM t),
+c AS (SELECT doc_id, gram, count(*) AS cnt FROM g GROUP BY doc_id, gram),
+r AS (SELECT doc_id,
+        round(sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) * 1.0 / sum(cnt), 6)
+          AS dup_2gram_frac
+      FROM c GROUP BY doc_id)
+SELECT b.doc_id, b.n_tokens,
+       (b.n_tokens >= 20 AND b.n_tokens <= 100000) AS keep_length,
+       (b.stop_ratio >= 0.02) AS keep_stopwords,
+       (b.dist_ratio >= 0.35) AS keep_distinct,
+       (r.dup_2gram_frac <= 0.6) AS keep_repetition,
+       ((b.n_tokens >= 20 AND b.n_tokens <= 100000) AND b.stop_ratio >= 0.02
+        AND b.dist_ratio >= 0.35 AND r.dup_2gram_frac <= 0.6) AS keep
+FROM b JOIN r USING (doc_id)
+"""
+
+
 def doc_lang_id(spark, sf_dir):
     return textstats.lang_id(_t(spark, sf_dir, "documents"))
 
@@ -1379,6 +1411,7 @@ QUERIES: dict[str, Query] = {
     "doc_token_bpe": doc_token_bpe,
     "doc_quality": doc_quality,
     "doc_repetition": doc_repetition,
+    "doc_gopher_filter": doc_gopher_filter,
     "doc_lang_id": doc_lang_id,
     "doc_fingerprint": doc_fingerprint,
     "doc_dup_spans": doc_dup_spans,
@@ -1418,6 +1451,7 @@ ORACLES: dict[str, str] = {
     "doc_token_bpe": DOC_TOKEN_BPE_SQL,
     "doc_quality": DOC_QUALITY_SQL,
     "doc_repetition": DOC_REPETITION_SQL,
+    "doc_gopher_filter": DOC_GOPHER_FILTER_SQL,
     "doc_lang_id": DOC_LANG_ID_SQL,
     "doc_fingerprint": DOC_FINGERPRINT_SQL,
     "doc_dup_spans": DOC_DUP_SPANS_SQL,
