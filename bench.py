@@ -477,6 +477,7 @@ def main() -> None:
     levels = ([tiny] if with_tiny else []) + [small, CPUS]
     times: dict[int, list[float]] = {c: [] for c in levels}
     times_fold: dict[int, list[float]] = {c: [] for c in levels}
+    loads_fold: dict[int, list] = {c: [] for c in levels}  # noise per fold rep
     loads: dict[int, list] = {c: [] for c in levels}
     pairs: list[dict] = []  # same-window (CPUS, small) adjacent-pair records
     n_events = dict.fromkeys(times, 0)
@@ -494,6 +495,7 @@ def main() -> None:
             times[cores].append(dt)
             if fold:
                 times_fold[cores].append(dt + dt_fold)
+                loads_fold[cores].append(noise)
             loads[cores].append(noise)
             rep_dt[cores] = dt
             n_events[cores] = n
@@ -566,9 +568,11 @@ def main() -> None:
 
     dt_small = best_clean(times[small], loads[small])
     dt_large = best_clean(times[CPUS], loads[CPUS])
-    # fold pairs exist only for rep 0 (see run_pair) — min over what was run
-    ft_small = min(times_fold[small])
-    ft_large = min(times_fold[CPUS])
+    # fold reps exist for rep 0 + replacement pairs — clean-gated like the
+    # apply (an ungated min let one contaminated early rep pollute
+    # incl_fold while the apply estimator was clean, round-5 run 3)
+    ft_small = best_clean(times_fold[small], loads_fold[small])
+    ft_large = best_clean(times_fold[CPUS], loads_fold[CPUS])
     # the (rarer) rewrite/maintenance fold, timed on the same fold reps
     rw_small = min((nz["fold_rewrite_s"] for nz in loads[small]
                     if nz.get("fold_rewrite_s")), default=0.0)
