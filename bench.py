@@ -426,6 +426,8 @@ def _prior_clean_pairs(top: int = 3) -> dict[str, float]:
         name = os.path.basename(path)
         if name == "BENCH_local_driver_run.json":  # this run's own sidecar
             continue
+        if name.endswith("_headline.json"):  # duplicate of its sidecar twin
+            continue
         try:
             with open(path) as f:
                 d = json.load(f)
