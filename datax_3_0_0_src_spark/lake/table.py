@@ -80,9 +80,16 @@ def _lww_winner_pick(paths: list, key: str, ts_col: str):
         want = [c for c in (key, ts_col, SYS_OFFSET)
                 if c in pf.schema_arrow.names]
         nt = pq.read_table(p, columns=want, use_threads=False)
-        off = nt.column(SYS_OFFSET).to_pandas() \
-            if SYS_OFFSET in nt.column_names \
-            else pd.Series([None] * len(nt))
+        # offsets stay int64 END TO END: arrow-side fill_null(-1) before any
+        # pandas conversion — to_pandas() of a nullable int64 column yields
+        # float64, and offsets >= 2^53 would lose precision there, letting an
+        # equal-ts tiebreak pick a different winner than _resolve_lww's exact
+        # long comparison (round-6 advice #3)
+        if SYS_OFFSET in nt.column_names:
+            off_np = (nt.column(SYS_OFFSET).cast("int64").fill_null(-1)
+                      .combine_chunks().to_numpy(zero_copy_only=False))
+        else:
+            off_np = np.full(len(nt), -1, dtype=np.int64)
         # normalise ts repr per file BEFORE concat: a bucket mixing legacy
         # INT96 files (naive ns; values are UTC instants) with engine-written
         # us/UTC files would otherwise concat to object dtype and the winner
@@ -96,8 +103,7 @@ def _lww_winner_pick(paths: list, key: str, ts_col: str):
         ts_parts.append(
             ts_s.fillna(pd.Timestamp.min)
             .to_numpy("datetime64[ns]").view("int64"))
-        off_parts.append(
-            pd.to_numeric(off).fillna(-1).to_numpy(np.float64))
+        off_parts.append(off_np)
         file_parts.append(np.full(len(nt), i, dtype=np.int32))
     codes, _ = pd.factorize(
         pd.concat(k_parts, ignore_index=True), sort=False)
@@ -341,13 +347,25 @@ class LakeTable:
         Output: the commit-time user columns (schema evolution null-backfills
         older commits) + ``_change_type`` ('upsert' | 'delete'),
         ``_commit_version``, and ``_change_offset`` (the WAL sequence).
+
+        Plan shape (round-6 verdict item 2): ONE parquet scan per SCHEMA
+        GENERATION in the range — not one per commit. At production
+        micro-batch cadence a day of history is thousands of versions; a
+        per-version union chain bloats the plan and does driver-side linear
+        work per node. Here the (cheap, manifest-JSON-only) driver loop just
+        collects added-file -> version, files sharing a schema are read in a
+        single multi-path scan, and ``_commit_version`` attaches via a
+        broadcast join on ``_metadata.file_path`` (evolution is additive and
+        rare, so generations ~= 1).
         """
         import json as _json
 
         until = self.snapshot().version if until_version is None else until_version
         prev = set(self.snapshot(since_version).all_deltas())
-        out = None
-        latest_user = None
+        # schema_json -> list[(relative file path, commit version)], grouped
+        # in first-seen (= version) order so unions run oldest-schema-first
+        gens: dict[str, list[tuple[str, int]]] = {}
+        latest_schema_json = self.snapshot(since_version).schema_json
         for v in range(since_version + 1, until + 1):
             s = self.snapshot(v)
             cur = set(s.all_deltas())
@@ -360,31 +378,49 @@ class LakeTable:
                     f"were folded into rewritten base files and cannot be "
                     f"replayed — the changes feed requires MOR history"
                 )
-            user_schema = StructType.fromJson(_json.loads(s.schema_json))
-            latest_user = user_schema
-            if not added:
-                continue
+            latest_schema_json = s.schema_json
+            if added:
+                gens.setdefault(s.schema_json, []).extend(
+                    (f, v) for f in added)
+        sys_fields = [StructField("_change_type", StringType()),
+                      StructField("_commit_version", LongType()),
+                      StructField("_change_offset", LongType())]
+        latest_user = StructType.fromJson(_json.loads(latest_schema_json))
+        if not gens:
+            return self.spark.createDataFrame(
+                [], StructType(list(latest_user.fields) + sys_fields))
+        out = None
+        for schema_json, file_vers in gens.items():
+            user_schema = StructType.fromJson(_json.loads(schema_json))
             phys = self._physical_schema(user_schema)
-            df = self._read_files(added, phys).select(
-                *[F.col(f.name) for f in user_schema.fields],
-                F.when(F.coalesce(F.col(SYS_DELETED), F.lit(False)), "delete")
-                .otherwise("upsert").alias("_change_type"),
-                F.lit(v).alias("_commit_version"),
-                F.col(SYS_OFFSET).alias("_change_offset"),
+            df = self._read_files([f for f, _ in file_vers], phys)
+            # table-relative path of each row's source file (same derivation
+            # as _apply_dvs), joined against the tiny broadcast file->version
+            # map — one scan regardless of how many commits are in the range
+            vmap = self.spark.createDataFrame(
+                file_vers, "_cdf_rel string, _commit_version long")
+            rel = F.concat(
+                F.lit("data/"),
+                F.substring_index(F.col("_metadata.file_path"), "/data/", -1),
+            )
+            df = (
+                df.withColumn("_cdf_rel", rel)
+                .join(F.broadcast(vmap), on="_cdf_rel", how="inner")
+                .select(
+                    *[F.col(f.name) for f in user_schema.fields],
+                    F.when(F.coalesce(F.col(SYS_DELETED), F.lit(False)),
+                           "delete").otherwise("upsert").alias("_change_type"),
+                    F.col("_commit_version"),
+                    F.col(SYS_OFFSET).alias("_change_offset"),
+                )
             )
             out = df if out is None else out.unionByName(
                 df, allowMissingColumns=True)
-        if out is None:
-            user = latest_user or StructType.fromJson(
-                _json.loads(self.snapshot(until).schema_json))
-            empty = StructType(
-                list(user.fields)
-                + [StructField("_change_type", StringType()),
-                   StructField("_commit_version", LongType()),
-                   StructField("_change_offset", LongType())]
-            )
-            return self.spark.createDataFrame([], empty)
-        return out
+        # latest-schema column order regardless of generation union order
+        return out.select(
+            *[F.col(f.name) for f in latest_user.fields],
+            *[F.col(f.name) for f in sys_fields],
+        )
 
     # ------------------------------------------------------------ merge path
     def merge(
@@ -853,7 +889,12 @@ class LakeTable:
         key, ts_col = snap.properties["key"], snap.properties["ts_col"]
         folded_files = {b: set(snap.bucket_files(b)) for b in todo}
         folded_deltas = {b: set(snap.bucket_deltas(b)) for b in todo}
-        has_deltas = any(folded_deltas[b] for b in todo)
+        # a DV-folded bucket carries LWW-masked LOSERS inside its base files;
+        # _commit_fold pops the bucket's delete vectors, so the rewrite MUST
+        # re-resolve (the deterministic (ts, offset) rule re-drops the same
+        # losers) or the fold would resurrect stale rows (round-6 advice #1)
+        has_deltas = any(
+            folded_deltas[b] or snap.bucket_dvs(b) for b in todo)
         df = self._read_files(
             [f for b in todo for f in snap.bucket_files(b) + snap.bucket_deltas(b)], phys
         )

@@ -134,7 +134,21 @@ def write_elasticsearch(df: DataFrame, p: dict):
                     last_err = RuntimeError(f"bulk status {status}")
                     _time.sleep(0.2 * (attempt + 1))
                     continue
+                if status >= 300:
+                    # bulk-LEVEL rejection (400 malformed, 401/403 auth, 404
+                    # missing index): the response carries no per-item
+                    # statuses, so silently falling through would drop the
+                    # whole buffer — neither written, nor dirty, nor raised
+                    # (round-6 advice #2; the reference ESWriter surfaces
+                    # bulk-level failures, ESWriter.java:420-443)
+                    raise RuntimeError(
+                        f"bulk rejected [{status}]: {resp[:300]!r}")
                 result = json.loads(resp)
+                if "items" not in result:
+                    # 2xx but no per-item report (e.g. a top-level "error"
+                    # body from a proxy): same silent-drop hazard as above
+                    raise RuntimeError(
+                        f"bulk response carried no items: {resp[:300]!r}")
                 for item in result.get("items", []):
                     st = next(iter(item.values())).get("status", 200)
                     if st >= 300:
@@ -182,6 +196,7 @@ def write_clickhouse(df: DataFrame, p: dict):
     table = p["table"]
     cols = p.get("columns") or df.columns
     batch_size = int(p.get("batchSize", 2048))
+    try_size = int(p.get("trySize", 3))
     insert_q = quote(
         f"INSERT INTO {table} ({', '.join(cols)}) FORMAT JSONEachRow")
 
@@ -199,23 +214,46 @@ def write_clickhouse(df: DataFrame, p: dict):
     dirty = spark.sparkContext.accumulator(0)
 
     def write_partition(rows):
+        import time as _time
+
         buf: list[dict] = []
 
-        def send(items: list[dict]) -> bool:
+        def send(items: list[dict]) -> int:
+            """POST one JSONEachRow body; returns the HTTP status. Transient
+            failures (transport error / 5xx: server restarting, overloaded,
+            proxy 502/503) retry ``trySize`` times then RAISE so the Spark
+            task retries — an unavailable server must fail the job, not
+            count every row dirty (round-6 verdict item 3; the ES writer
+            beside this one set the pattern, ESWriter.java:434-443). Only a
+            definitive 4xx (row/query rejected) returns to the caller."""
             body = ("\n".join(json.dumps(d, default=str) for d in items)
                     + "\n").encode()
-            status, _resp = _post(f"{endpoint}/?query={insert_q}", body,
-                                  content_type="application/x-ndjson")
-            return status < 300
+            last_err = None
+            for attempt in range(try_size):
+                try:
+                    status, _resp = _post(f"{endpoint}/?query={insert_q}",
+                                          body,
+                                          content_type="application/x-ndjson")
+                except OSError as e:
+                    last_err = e
+                    _time.sleep(0.2 * (attempt + 1))
+                    continue
+                if status >= 500:
+                    last_err = RuntimeError(f"insert status {status}")
+                    _time.sleep(0.2 * (attempt + 1))
+                    continue
+                return status
+            raise RuntimeError(
+                f"clickhouse insert failed after {try_size} tries: {last_err}")
 
         def flush():
             if not buf:
                 return
-            if send(buf):
+            if send(buf) < 300:
                 written.add(len(buf))
-            else:  # batch refused: row-at-a-time, bad rows become dirty
+            else:  # batch rejected (4xx): row-at-a-time, bad rows go dirty
                 for d in buf:
-                    if send([d]):
+                    if send([d]) < 300:
                         written.add(1)
                     else:
                         dirty.add(1)

@@ -177,6 +177,14 @@ class _EsHandler(http.server.BaseHTTPRequestHandler):
         s = self.server
         path = self.path.split("?", 1)[0]
         body = self._body()
+        if path.endswith("/_bulk") and s.fail_next:
+            # induced bulk-LEVEL failure (transient 503 or definitive 400):
+            # [status, n_times] — the writer must retry 5xx and raise on 4xx
+            status, left = s.fail_next
+            s.fail_next = (status, left - 1) if left > 1 else None
+            self._json(status, {"error": {"type": "stub_induced"},
+                                "status": status})
+            return
         if path == "/_aliases":
             for act in json.loads(body)["actions"]:
                 if "add" in act:
@@ -233,6 +241,7 @@ class EsStubServer:
         self.server.docs = {}      # (index, _id) -> doc
         self.server.indices = {}   # name -> creation body
         self.server.aliases = {}   # alias -> index
+        self.server.fail_next = None  # (status, n_times) bulk-level failure
         self.port = self.server.server_address[1]
         self._thread = threading.Thread(target=self.server.serve_forever, daemon=True)
 
@@ -263,10 +272,21 @@ class _ChHandler(http.server.BaseHTTPRequestHandler):
         body = self.rfile.read(int(self.headers.get("Content-Length", 0)))
         m = re.match(r"INSERT INTO (\S+) \(([^)]*)\) FORMAT JSONEachRow", q)
         if m:
+            if s.fail_next:  # induced transient failure: [status, n_times]
+                status, left = s.fail_next
+                s.fail_next = (status, left - 1) if left > 1 else None
+                err = b"Code: 202. DB::Exception: Too many simultaneous queries"
+                self.send_response(status)
+                self.send_header("Content-Length", str(len(err)))
+                self.end_headers()
+                self.wfile.write(err)
+                return
             rows = [json.loads(ln) for ln in body.decode().split("\n") if ln]
             if any(r.get("poison") for r in rows):
+                # definitive statement rejection (bad data): 4xx — a 5xx from
+                # a real server means "try later" and must NOT dirty rows
                 err = b"Code: 27. DB::Exception: Cannot parse input"
-                self.send_response(500)
+                self.send_response(400)
                 self.send_header("Content-Length", str(len(err)))
                 self.end_headers()
                 self.wfile.write(err)
@@ -285,6 +305,7 @@ class ChStubServer:
         self.server.daemon_threads = True
         self.server.tables = {}
         self.server.sqls = []
+        self.server.fail_next = None  # (status, n_times) insert failure
         self.port = self.server.server_address[1]
         self._thread = threading.Thread(target=self.server.serve_forever, daemon=True)
 

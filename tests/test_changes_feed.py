@@ -59,6 +59,34 @@ def test_changes_rejects_cow_history(spark, tmp_path):
     assert len(rows_of(t.changes(0, 3))) == 9
 
 
+def test_changes_single_scan_over_many_commits(spark, tmp_path):
+    """Round-6 verdict item 2: the feed over a LONG history must be ONE
+    parquet scan per schema generation (version attribution via a broadcast
+    file->version map), not a per-commit union chain — at production
+    micro-batch cadence a day is thousands of versions and a thousand-node
+    plan is a driver-side scale bug."""
+    t = make_table(spark, str(tmp_path / "t"), nb=2)
+    n = 110
+    for i in range(n):
+        t.merge(batch(spark, [
+            (f"u{i}", f"2024-01-01T00:{i // 60:02d}:{i % 60:02d}",
+             "<x>", f"T{i}", "en", i, "D" if i % 10 == 9 else "I"),
+        ]), mode="mor")
+    ch = t.changes(0)
+    got = rows_of(ch)
+    assert len(got) == n
+    # correct per-version attribution across all 110 commits
+    assert got[0] == (1, "u0", "upsert", 0)
+    assert (10, "u9", "delete", 9) in got
+    assert got[-1] == (n, f"u{n - 1}", "upsert" if (n - 1) % 10 != 9 else "delete",
+                       n - 1)
+    # plan shape: exactly ONE parquet file-source scan (plus the tiny local
+    # map relation) — no 110-way union of per-version scans
+    plan = ch._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]  # AQE prints both sections
+    assert final.count("FileScan parquet") == 1, final[:2000]
+
+
 def test_changes_schema_evolution_backfills(spark, tmp_path):
     from test_lake_table import TS
 

@@ -89,6 +89,65 @@ def test_dv_tombstone_survives_and_blocks_resurrection(spark, tmp_path):
     assert "b" not in state(t)
 
 
+def test_dv_then_shuffle_compact_does_not_resurrect_losers(spark, tmp_path):
+    """Round-6 advice #1 (high): after a DV fold, a bucket's base files
+    carry LWW-masked losers and its deltas are gone — a later SHUFFLE-
+    strategy rewrite (the default for LakeTable.compact and
+    ReplayConfig.compact_strategy) must re-resolve instead of copying the
+    masked losers into the new base while popping the DVs."""
+    t = seed_mor(spark, str(tmp_path / "t"))
+    t.compact(strategy="dv")
+    assert t.snapshot().all_dvs()
+    # file-count-triggered rewrite, DEFAULT strategy, no unresolved deltas
+    t.compact(strategy="shuffle", target_files_per_bucket=1)
+    snap = t.snapshot()
+    assert not snap.all_dvs()          # rewrite clears the delete vectors
+    assert all(not v for v in snap.deltas.values())
+    assert state(t) == EXPECTED        # ...and must not resurrect A0/A_LOSER/C0
+    # deleted key stays dead through the rewrite (tombstone row kept)
+    assert "b" not in state(t)
+    rows = t.read(include_deleted=True).collect()
+    assert {r["url"] for r in rows} == {"a", "b", "c", "d", "e"}
+    assert len(rows) == 5              # exactly one physical row per key now
+
+
+def test_fold_winner_pick_exact_at_2pow53_offsets(spark, tmp_path):
+    """Round-6 advice #3 (low): the fold's narrow winner pick must compare
+    offsets as exact int64 — float64 cannot represent 2^53+1, so equal-ts
+    rows with adjacent huge offsets would tie and the tiebreak could pick the
+    OLDER writer, diverging from _resolve_lww's exact long comparison."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    t = make_table(spark, str(tmp_path / "t"), nb=2)
+    long_schema = StructType(
+        PAGES_SCHEMA.fields
+        + [StructField("log_offset", LongType()), StructField("op", StringType())]
+    )
+    base = 1 << 53  # above float64's integer-exact range
+    rows = [
+        ("a", TS("2024-01-01T00:00:00"), b"<a>", "OLD", "en", base, "I"),
+        ("b", TS("2024-01-01T00:00:00"), b"<b>", "B_OLD", "en", base + 2, "I"),
+    ]
+    t.merge(spark.createDataFrame(rows, long_schema), mode="mor")
+    rows2 = [
+        # SAME ts, offset exactly one past the float64-representable twin
+        ("a", TS("2024-01-01T00:00:00"), b"<a>", "NEW", "en", base + 1, "U"),
+        # ...and a LOSER whose float64 repr equals the incumbent's offset
+        ("b", TS("2024-01-01T00:00:00"), b"<b>", "B_LOSER", "en", base + 1, "U"),
+    ]
+    t.merge(spark.createDataFrame(rows2, long_schema), mode="mor")
+    expected = {"a": (TS("2024-01-01T00:00:00"), "NEW"),
+                "b": (TS("2024-01-01T00:00:00"), "B_OLD")}
+    assert state(t) == expected        # read path: exact long comparison
+    t.compact(strategy="dv")
+    assert state(t) == expected        # dv fold must agree
+    t2 = make_table(spark, str(tmp_path / "t2"), nb=2)
+    t2.merge(spark.createDataFrame(rows, long_schema), mode="mor")
+    t2.merge(spark.createDataFrame(rows2, long_schema), mode="mor")
+    t2.compact(strategy="local", target_files_per_bucket=1)
+    assert state(t2) == expected       # local rewrite fold must agree too
+
+
 def test_dv_then_new_deltas_then_refold(spark, tmp_path):
     t = seed_mor(spark, str(tmp_path / "t"))
     t.compact(strategy="dv")

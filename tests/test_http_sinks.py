@@ -91,6 +91,45 @@ def test_es_update_requires_id(spark):
         }})
 
 
+def test_es_transient_5xx_retries_then_succeeds(spark):
+    """A one-shot 503 on the bulk endpoint is retried within trySize —
+    zero rows lost, zero dirty (ESWriter.java:434-443 parity)."""
+    with EsStubServer() as es:
+        es.server.fail_next = (503, 1)
+        res = write_sink(docs_df(spark, 8), {"name": "elasticsearch", "parameter": {
+            "endpoint": f"http://127.0.0.1:{es.port}", "index": "pages",
+            "column": ES_COLS, "batchSize": 100, "trySize": 3,
+        }})
+        assert res == {"rows_written": 8, "rows_dirty": 0}
+        assert len(es.server.docs) == 8
+
+
+def test_es_bulk_level_4xx_raises_not_silent_drop(spark):
+    """Round-6 advice #2: a bulk-LEVEL 400 (malformed bulk / missing index /
+    auth) has no per-item statuses — before the fix the whole batch vanished
+    (not written, not dirty, no error). It must raise."""
+    with EsStubServer() as es:
+        es.server.fail_next = (400, 1)
+        with pytest.raises(Exception, match="bulk rejected \\[400\\]"):
+            write_sink(docs_df(spark, 8), {"name": "elasticsearch", "parameter": {
+                "endpoint": f"http://127.0.0.1:{es.port}", "index": "pages",
+                "column": ES_COLS, "batchSize": 100,
+            }})
+        # the rejected buffer was NOT silently absorbed (other partitions may
+        # have landed theirs — a non-transactional sink's normal partial state)
+        assert len(es.server.docs) < 8
+
+
+def test_es_persistent_5xx_exhausts_retries_and_raises(spark):
+    with EsStubServer() as es:
+        es.server.fail_next = (503, 99)
+        with pytest.raises(Exception, match="bulk failed after 2 tries"):
+            write_sink(docs_df(spark, 4), {"name": "elasticsearch", "parameter": {
+                "endpoint": f"http://127.0.0.1:{es.port}", "index": "pages",
+                "column": ES_COLS, "trySize": 2,
+            }})
+
+
 def test_clickhouse_insert_presql_and_dirty_fallback(spark):
     with ChStubServer() as ch:
         res = write_sink(docs_df(spark, 20, poison_ids={7}), {
@@ -107,3 +146,28 @@ def test_clickhouse_insert_presql_and_dirty_fallback(spark):
         assert rows[3]["title"] == "d3"
         assert ch.server.sqls == ["TRUNCATE TABLE pages",
                                   "OPTIMIZE TABLE pages FINAL"]
+
+
+def test_clickhouse_transient_5xx_retries_zero_dirty(spark):
+    """Round-6 verdict item 3: a one-shot 503 (server busy) must be retried,
+    not treated as row badness — before the fix every row of an unavailable
+    server was counted dirty and the job 'succeeded'."""
+    with ChStubServer() as ch:
+        ch.server.fail_next = (503, 1)
+        res = write_sink(docs_df(spark, 10), {"name": "clickhouse", "parameter": {
+            "endpoint": f"http://127.0.0.1:{ch.port}", "table": "pages",
+            "batchSize": 100, "trySize": 3,
+        }})
+        assert res == {"rows_written": 10, "rows_dirty": 0}
+        assert len(ch.server.tables["pages"]) == 10
+
+
+def test_clickhouse_persistent_5xx_raises(spark):
+    with ChStubServer() as ch:
+        ch.server.fail_next = (503, 99)
+        with pytest.raises(Exception, match="insert failed after 2 tries"):
+            write_sink(docs_df(spark, 4), {"name": "clickhouse", "parameter": {
+                "endpoint": f"http://127.0.0.1:{ch.port}", "table": "pages",
+                "trySize": 2,
+            }})
+        assert ch.server.tables.get("pages") is None  # no partial success claim
