@@ -35,18 +35,22 @@ sys.path.insert(0, REPO)
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-# 16M events in 8 rate-capped micro-batches (cap = N/8), pipeline depth 4.
-# Sizing rationale (round-3 Amdahl fits): the per-run serial component
-# (driver planning, commits, job dispatch) is ~10-20 s at this batch count
-# regardless of input, so the measured N->4N efficiency approaches the
-# engine's real scalability only when parallel work dominates — 2M-event
-# inputs read 0.5-0.6 purely from fixed costs, 8M read 0.65 same-window, and
-# 16M reads 0.68-0.74 (vs this VM's measured ~0.81 pure-CPU ceiling for the
-# pinned 8->32 pair). 10^8-event production batches sit far past this knee,
-# so bigger input is the FAIRER stand-in, not a trick. The round-3 streaming
-# fold (one file in memory at a time) removed the peak-memory ceiling that
-# rejected 16M earlier.
-N_EVENTS = int(os.environ.get("BENCH_EVENTS", "16000000"))
+# 64M events in 8 rate-capped micro-batches (cap = N/8), pipeline depth 4.
+# Sizing rationale (round-3/5 Amdahl fits, round-6 verdict item 1): the
+# per-run serial component (driver planning, commits, job dispatch) is
+# ~5-10 s at this batch count regardless of input, so the measured N->4N
+# efficiency approaches the engine's real scalability only when parallel
+# work dominates — 2M-event inputs read 0.5-0.6 purely from fixed costs, 8M
+# read 0.65 same-window, 16M read 0.68-0.74, and the fitted 10 s serial is
+# still 18% of the 16M 8-core wall (capping clean pairs at ~0.72 vs this
+# VM's measured ~0.81 pinned pure-CPU ceiling). At 64M the same serial is
+# ~4% of the 8-core wall, so the pair measures the ENGINE, not the driver
+# fixed cost; the round-5 builder pair moved 0.544 -> 0.665 going 16M -> 64M
+# exactly as the fit predicts. 10^8-event production batches sit far past
+# this knee, so bigger input is the FAIRER stand-in, not a trick. (The
+# round-3 streaming fold removed the peak-memory ceiling; the 64M WAL is
+# ~7 GB in tmpfs on a 128 GiB box.)
+N_EVENTS = int(os.environ.get("BENCH_EVENTS", "64000000"))
 # 3 interleaved best-of samples per level: this shared VM shows ±2-3x noise
 # on identical work, so the sample floor is the signal
 REPS = int(os.environ.get("BENCH_REPS", "3"))
@@ -69,6 +73,10 @@ HEADLINE = [
     "doc_minhash_signatures",
     "doc_ngram_jaccard",
     "emb_cosine_topk",
+    # round-6 verdict item 7: the round-5 heavy operators join the artifact
+    # of record so regressions are caught here, not only by CORRECTNESS
+    "doc_dup_spans",
+    "doc_gopher_filter",
 ]
 
 _CHILD = r"""
@@ -130,7 +138,7 @@ if os.environ.get("BENCH_CAP", ""):
 # the parent's capability-probe rationale), so shorter children = cleaner
 # samples for the apply metric itself
 do_fold = {do_fold}
-dt_fold = dt_fold_rw = 0.0
+dt_fold = dt_fold_rw = probe_dv = probe_rw = 0.0
 for wal in ({warm_wal!r}, {wal!r}):
     shutil.rmtree(base, ignore_errors=True)
     # num_buckets=32: the zero-exchange local fold runs one task per bucket,
@@ -152,24 +160,35 @@ for wal in ({warm_wal!r}, {wal!r}):
         t1 = time.monotonic()
         rep.table.compact(strategy="dv")
         dt_fold = time.monotonic() - t1
+        # read tax AFTER the DV fold: a full-table probe pays the broadcast
+        # anti-join against the position sidecars (round-6 verdict item 5 —
+        # the minor/major trade must be visible in the artifact of record)
+        t1 = time.monotonic()
+        rep.table.read().write.format("noop").mode("overwrite").save()
+        probe_dv = time.monotonic() - t1
         t1 = time.monotonic()
         rep.table.compact(target_files_per_bucket=2,
                           concurrency=profile["compact_concurrency"],
                           strategy=profile["compact_strategy"])
         dt_fold_rw = time.monotonic() - t1
+        # ...and after the rewrite fold: winners-only files, no DV probe
+        t1 = time.monotonic()
+        rep.table.read().write.format("noop").mode("overwrite").save()
+        probe_rw = time.monotonic() - t1
 n = sum(r.events_read for r in res)
 shutil.rmtree(base, ignore_errors=True)
 # per-phase lap sums over the measured run's batches: the artifact-level
 # serial breakdown the round-3 verdict asked for (reviewable per rep)
 laps = {{}}
 for tl in rep.batch_timelines:
-    for k in ("plan_s", "write_job", "footers", "pre_commit", "commit_cas",
+    for k in ("read_epoch_s", "fused_build_s", "plan_s", "write_job",
+              "footers", "pre_commit", "commit_cas",
               "slice_stats_s", "total_s"):
         laps[k] = round(laps.get(k, 0.0) + tl.get(k, 0.0), 2)
 laps["n_batches"] = len(rep.batch_timelines)
 import json as _json
 print("LAPS " + _json.dumps(laps))
-print(f"RESULT {{dt}} {{dt_fold}} {{n}} {{dt_fold_rw}}")
+print(f"RESULT {{dt}} {{dt_fold}} {{n}} {{dt_fold_rw}} {{probe_dv}} {{probe_rw}}")
 spark.stop()
 """
 
@@ -410,6 +429,11 @@ def replay_subprocess(cores: int, *, do_fold: bool = True) -> tuple[float, float
             parts = line.split()
             dt, dt_fold, n = float(parts[1]), float(parts[2]), int(parts[3])
             noise["fold_rewrite_s"] = float(parts[4]) if len(parts) > 4 else 0.0
+            if len(parts) > 6:  # full-table read probes (round-6 item 5)
+                noise["read_probe_dv_s"] = float(parts[5])
+                noise["read_probe_rw_s"] = float(parts[6])
+            if dt_fold:
+                noise["fold_dv_s"] = dt_fold
             result = (dt, dt_fold, n, noise)
     if result is not None:
         return result
@@ -580,6 +604,10 @@ def main() -> None:
                     if nz.get("fold_rewrite_s")), default=0.0)
     rw_large = min((nz["fold_rewrite_s"] for nz in loads[CPUS]
                     if nz.get("fold_rewrite_s")), default=0.0)
+
+    def min_probe(level: int, key: str) -> float:
+        return round(min((nz[key] for nz in loads[level] if nz.get(key)),
+                         default=0.0), 2)
     thr_small = n_events[small] / dt_small
     thr_large = n_events[CPUS] / dt_large
     # headline estimator: the better of two clean-gated estimators of the
@@ -613,6 +641,11 @@ def main() -> None:
         ser = max(dt_large - par / CPUS, 0.0)
     queries[f"cdc_replay_local{small}"] = round(dt_small, 3)
     queries[f"cdc_replay_local{CPUS}"] = round(dt_large, 3)
+    # the DV minor fold's own wall at full width (round-6 item 7): the LWW
+    # resolution step as a first-class headline number
+    fold_dv_large = min_probe(CPUS, "fold_dv_s")
+    if fold_dv_large:
+        queries[f"cdc_fold_dv_local{CPUS}"] = fold_dv_large
 
     sf = SF_DIR.rstrip("/").split("sf")[-1]
     try:
@@ -660,6 +693,15 @@ def main() -> None:
         "scaling_efficiency_incl_fold": round(eff_fold, 3),
         "fold_rewrite_s": {str(small): round(rw_small, 2),
                            str(CPUS): round(rw_large, 2)},
+        # full-table read probe after each fold kind (round-6 item 5): the
+        # DV fold's broadcast-anti-join read tax vs the rewrite fold's
+        # winners-only scan — the minor/major trade, in the artifact
+        "read_probe_s": {
+            "after_dv": {str(small): min_probe(small, "read_probe_dv_s"),
+                         str(CPUS): min_probe(CPUS, "read_probe_dv_s")},
+            "after_rewrite": {str(small): min_probe(small, "read_probe_rw_s"),
+                              str(CPUS): min_probe(CPUS, "read_probe_rw_s")},
+        },
         "amdahl_fit": {"serial_s": round(ser, 1), "parallel_s": round(par, 1)},
         # provenance, NOT this run's measurement: best probe-clean same-window
         # pair from each committed prior-run artifact in the repo. This VM's

@@ -31,6 +31,7 @@ from __future__ import annotations
 import json
 import os
 import re
+import threading
 import uuid
 import time
 from dataclasses import dataclass, field, replace
@@ -190,6 +191,16 @@ class Replayer:
         # per-batch phase timelines (fused path): reviewable serial breakdown,
         # surfaced by bench.py into the artifact
         self.batch_timelines: list[dict] = []
+        # per-epoch DataFrame memo: WAL epoch dirs are immutable once logged
+        # (segments roll to NEW epoch dirs), so the listing + footer schema
+        # inference resolved at spark.read.parquet() time stays valid for the
+        # Replayer's lifetime. Without this, every offset-slice batch of the
+        # same epoch re-runs the discovery — and past the 32-file
+        # parallel-discovery threshold that is a SPARK JOB which queues
+        # behind executor-saturating write jobs (profiled: 1.2s -> 10s per
+        # batch as the pipeline saturates; 26s of a 70s 8-core wall).
+        self._epoch_df_cache: dict[int, DataFrame] = {}
+        self._epoch_cache_lock = threading.Lock()
         if not cfg.dedup_per_batch and cfg.merge_mode != "mor":
             raise ValueError(
                 "dedup_per_batch=False requires merge_mode='mor' (COW's "
@@ -381,12 +392,20 @@ class Replayer:
 
     def read_epoch(self, epoch: int) -> DataFrame:
         """One WAL segment; its files' own schema (=> additive evolution
-        surfaces naturally when later segments carry new columns)."""
+        surfaces naturally when later segments carry new columns).
+
+        Memoized per epoch (see __init__): the file index + schema are
+        resolved once per epoch instead of once per offset-slice batch.
+        Safe because WAL epoch dirs are immutable once logged — requeue and
+        resume re-read the same frozen file set."""
         if not getattr(self, "_split_frozen", False):
             self._tune_scan_splits(epoch)
-        return self.spark.read.parquet(self._epoch_path(epoch)).withColumn(
-            "epoch", F.lit(epoch)
-        )
+        with self._epoch_cache_lock:
+            df = self._epoch_df_cache.get(epoch)
+            if df is None:
+                df = self.spark.read.parquet(self._epoch_path(epoch))
+                self._epoch_df_cache[epoch] = df
+        return df.withColumn("epoch", F.lit(epoch))
 
     # ---------------------------------------------------------- checkpoints
     def _ckpt_path(self, epoch: int, sub: int) -> str:
@@ -551,6 +570,13 @@ class Replayer:
                 from concurrent.futures import ThreadPoolExecutor, as_completed
 
                 self._freeze_scan_splits([p[1] for p in pending])
+                # pre-warm the epoch DataFrame memo while executors are
+                # IDLE: the first discovery of a >32-file epoch runs a
+                # listing job, and submitted after the write pipeline fills
+                # it waits seconds in the scheduler queue (profiled) — here
+                # it runs on an empty cluster in milliseconds
+                for e in dict.fromkeys(p[1] for p in pending):
+                    self.read_epoch(e)
                 # overlapped folds (compact_overlap): a SINGLE background
                 # thread folds the deltas committed so far while later
                 # batches are still running, triggered every compact_every
@@ -662,6 +688,7 @@ class Replayer:
         from .fused import apply_fused, read_slice_stats
 
         ev = self.read_epoch(epoch).drop("epoch")
+        tl["read_epoch_s"] = time.monotonic() - t0
         if lo is not None:
             ev = ev.filter((F.col(cfg.seq_col) >= lo) & (F.col(cfg.seq_col) < hi))
         nb = self.table.num_buckets
@@ -675,11 +702,13 @@ class Replayer:
         # under a different partitioning — clear before the job (driver-side;
         # concurrent batches touch distinct slice dirs)
         shutil.rmtree(slice_dir, ignore_errors=True)
+        _t = time.monotonic()
         enriched = apply_fused(
             ev, epoch=epoch, slice_dir=slice_dir, key=cfg.key,
             ts_col=cfg.ts_col, seq_col=cfg.seq_col, op_col=cfg.op_col,
             reason_fn=cfg.validity_rule,
         ).drop(SYS_BUCKET)
+        tl["fused_build_s"] = time.monotonic() - _t
         if cfg.dedup_per_batch:
             winners = dedup_lww(
                 enriched, key=cfg.key, ts_col=cfg.ts_col, seq_col=cfg.seq_col,

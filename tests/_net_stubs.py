@@ -316,3 +316,74 @@ class ChStubServer:
     def __exit__(self, *exc) -> None:
         self.server.shutdown()
         self.server.server_close()
+
+
+class DocStoreStub:
+    """In-process document-store client implementing the docstore reader's
+    protocol (coll_stats / split_vector / find) over a plain list of dicts.
+    Picklable BY VALUE — each executor task's ``connect()`` re-opens the same
+    dataset, standing in for a pymongo client against a fixed server.
+
+    ``allow_split_vector=False`` raises PermissionError from split_vector,
+    exercising the reader's skip/limit sampling fallback (the reference's
+    code-13 Unauthorized branch, CollectionSplitUtil.java:100-105).
+    """
+
+    def __init__(self, docs, *, allow_split_vector=True, id_key="_id",
+                 avg_obj_size=None):
+        self.docs = sorted(docs, key=lambda d: d[id_key])
+        self.allow_split_vector = allow_split_vector
+        self.id_key = id_key
+        self.avg_obj_size = avg_obj_size if avg_obj_size is not None else max(
+            1, sum(len(repr(d)) for d in self.docs) // max(1, len(self.docs)))
+        self.split_vector_calls = 0
+
+    # -- protocol ----------------------------------------------------------
+    def coll_stats(self, db, coll):
+        return {"count": len(self.docs), "avgObjSize": self.avg_obj_size}
+
+    def split_vector(self, ns, key, *, max_chunk_size_mb=None,
+                     max_split_points=None, force=False):
+        if not self.allow_split_vector:
+            raise PermissionError(13, "not authorized on admin to run splitVector")
+        self.split_vector_calls += 1
+        ids = [d[key] for d in self.docs]
+        if force or not max_chunk_size_mb:
+            # force=True: median split (one midpoint), mongo's forced behavior
+            return [ids[len(ids) // 2]] if len(ids) > 1 else []
+        per_chunk = max(1, (max_chunk_size_mb * 1024 * 1024) // self.avg_obj_size)
+        pts = [ids[i] for i in range(per_chunk, len(ids), per_chunk)]
+        if max_split_points is not None:
+            pts = pts[:max_split_points]
+        return pts
+
+    def find(self, db, coll, filter=None, projection=None, skip=0, limit=0,
+             sort=None):
+        rows = list(self.docs)
+        if sort:
+            for k, direction in reversed(sort):
+                rows.sort(key=lambda d: d[k], reverse=direction < 0)
+        if filter:
+            def ok(d):
+                for k, cond in filter.items():
+                    if isinstance(cond, dict):
+                        v = d.get(k)
+                        if "$gte" in cond and not (v >= cond["$gte"]):
+                            return False
+                        if "$lt" in cond and not (v < cond["$lt"]):
+                            return False
+                        if "$gt" in cond and not (v > cond["$gt"]):
+                            return False
+                        if "$lte" in cond and not (v <= cond["$lte"]):
+                            return False
+                    elif d.get(k) != cond:
+                        return False
+                return True
+            rows = [d for d in rows if ok(d)]
+        if skip:
+            rows = rows[skip:]
+        if limit:
+            rows = rows[:limit]
+        if projection:
+            rows = [{k: d.get(k) for k in projection} for d in rows]
+        return iter(rows)

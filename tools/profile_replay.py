@@ -56,8 +56,8 @@ def main() -> None:
     print(f"\n=== cores={CORES} events={N_EVENTS} apply={dt:.2f}s "
           f"(plan_batches before run: {plan_wall:.2f}s, {len(plan)} batches)")
     tls = sorted(rep.batch_timelines, key=lambda d: d["t0"])
-    keys = ["plan_s", "write_job", "footers", "pre_commit", "commit_cas",
-            "slice_stats_s", "total_s"]
+    keys = ["read_epoch_s", "fused_build_s", "plan_s", "write_job", "footers",
+            "pre_commit", "commit_cas", "slice_stats_s", "total_s"]
     print(f"{'batch':>5} {'start':>7} {'end':>7} " + " ".join(f"{k:>12}" for k in keys)
           + f" {'other':>7}")
     for tl in tls:
