@@ -346,6 +346,65 @@ def _steal_jiffies() -> int:
         return 0
 
 
+def _ceiling_worker(args) -> int:
+    """Fixed pure-CPU unit work: splitmix-style 64-bit hash iterations over a
+    64 KB L2-resident buffer — deliberately COMPUTE-bound (mul/xor/shift), NOT
+    memory-bound: an 8 MB streaming variant of this kernel anti-scaled 8->32
+    (eff 0.09) because 32 workers saturate the VM's shared memory bandwidth,
+    which would make the 'ceiling' read the DRAM bus, not the cores.
+    Module-level for pool pickling."""
+    n_u64, iters, seed = args
+    import numpy as np
+
+    x = (np.arange(n_u64, dtype=np.uint64) * np.uint64(2654435761)
+         + np.uint64(seed))
+    for _ in range(iters):
+        x ^= x >> np.uint64(33)
+        x *= np.uint64(0xFF51AFD7ED558CCD)
+        x ^= x >> np.uint64(29)
+        x *= np.uint64(0xC4CEB9FE1A85EC53)
+        x ^= x >> np.uint64(32)
+    return int(x[0])
+
+
+# total unit-work (1 unit = one 5-op hash pass over 64 KB) for the ceiling
+# pair: sized so the 8-core level runs ~5 s (long enough to sample the
+# window, short enough not to stretch it)
+CEIL_UNITS = int(os.environ.get("BENCH_CEIL_UNITS", str(1 << 20)))
+
+
+def ceiling_level(cores: int) -> tuple[float, float]:
+    """(wall seconds, steal jiffies/s) for CEIL_UNITS of embarrassingly-
+    parallel pure-CPU work split over `cores` pinned forked processes — NO
+    Spark, no shuffle, no driver: the N->4N efficiency of this workload is
+    the MACHINE's ceiling for the same core pair in the same window. On
+    dedicated hardware it is ~1.0 by construction; on this shared VM it
+    reads host-side co-tenant steal (measured: ~90 steal-jiffies/s when
+    8-wide vs ~350/s when 32-wide — the host over-commits precisely when we
+    go wide), which is the bound no engine running here can beat (round-6
+    verdict item 1: 'or prove the box can't show it')."""
+    import multiprocessing as mp
+
+    old = os.sched_getaffinity(0)
+    os.sched_setaffinity(0, set(range(cores)))
+    try:
+        ctx = mp.get_context("fork")
+        per = max(1, CEIL_UNITS // cores)
+        args = [((1 << 13), per, i) for i in range(cores)]
+        with ctx.Pool(cores) as pool:
+            # warm the workers (numpy import + first-touch) OUTSIDE the
+            # timed region: the import tax is constant per worker, which
+            # would bias the 4N level's eff denominator upward
+            pool.map(_ceiling_worker, [((1 << 10), 50, i) for i in range(cores)])
+            s0 = _steal_jiffies()
+            t0 = time.monotonic()
+            pool.map(_ceiling_worker, args)
+            dt = time.monotonic() - t0
+            return dt, (_steal_jiffies() - s0) / max(dt, 1e-9)
+    finally:
+        os.sched_setaffinity(0, old)
+
+
 def replay_subprocess(cores: int, *, do_fold: bool = True) -> tuple[float, float, int, dict]:
     env = dict(os.environ, SPARK_DRIVER_MEM=os.environ.get("SPARK_DRIVER_MEM", "48g"))
     code = _CHILD.format(repo=REPO, cores=cores, shm=SHM, wal=WAL_CACHE,
@@ -527,9 +586,20 @@ def main() -> None:
             n_events[cores] = n
             time.sleep(int(os.environ.get("BENCH_COOLDOWN_S", "15")))
         if small in rep_dt and CPUS in rep_dt:
+            # pure-CPU ceiling for the SAME core pair in the SAME window
+            # (adjacent to the engine children): the bound this box can show
+            cw_large, cs_large = ceiling_level(CPUS)
+            cw_small, cs_small = ceiling_level(small)
             pairs.append({
                 "eff": (rep_dt[small] / rep_dt[CPUS]) / (CPUS / small),
                 "noise_small": loads[small][-1], "noise_large": loads[CPUS][-1],
+                "ceiling": {
+                    "wall_small_s": round(cw_small, 2),
+                    "wall_large_s": round(cw_large, 2),
+                    "steal_per_s_small": round(cs_small, 1),
+                    "steal_per_s_large": round(cs_large, 1),
+                    "eff": round((cw_small / cw_large) / (CPUS / small), 3),
+                },
             })
 
     def flag_contamination() -> int:
@@ -677,6 +747,25 @@ def main() -> None:
         "scaling_efficiency_best_pair": round(
             max((p["eff"] for p in pairs if p["clean"]),
                 default=max(p["eff"] for p in pairs)), 3) if pairs else None,
+        # measured pure-CPU N->4N ceiling, one per pair, same window (round-6
+        # item 1): what a PERFECT engine could read on this box right then.
+        # engine_over_ceiling = best clean pair's eff / its own window's
+        # ceiling eff — the engine's true parallel quality, co-tenancy
+        # factored out by construction.
+        "ceiling_pairs": [p["ceiling"]["eff"] for p in pairs if "ceiling" in p],
+        # per-pair engine/ceiling ratio, NOT clean-gated: the ceiling runs in
+        # the same window as its pair, so the ratio is co-tenancy-adjusted by
+        # construction — in a degraded window BOTH numerator and denominator
+        # sag together (observed: engine 0.554 vs ceiling 0.466 in a window
+        # with 397 steal-jiffies/s at 32-wide), which is exactly the signal
+        # a clean-gated scalar would erase
+        "engine_over_ceiling_pairs": [
+            round(p["eff"] / p["ceiling"]["eff"], 3)
+            for p in pairs if "ceiling" in p and p["ceiling"]["eff"] > 0],
+        **({"engine_over_ceiling_best_clean": round(
+            max(((p["eff"], p["eff"] / p["ceiling"]["eff"]) for p in pairs
+                 if p.get("clean") and "ceiling" in p))[1], 3)}
+           if any(p.get("clean") and "ceiling" in p for p in pairs) else {}),
         "extra_pairs_run": extra,
         # only present when every primary pair was co-tenant-contaminated:
         # a quarter-scale (N, 4N) pair run inside the free capacity

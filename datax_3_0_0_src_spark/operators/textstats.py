@@ -249,3 +249,54 @@ def gopher_keep_filter(
         keep_rep.alias("keep_repetition"),
         (keep_len & keep_stop & keep_dist & keep_rep).alias("keep"),
     )
+
+
+def decontaminate(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+    eval_mod: int = 97,
+) -> DataFrame:
+    """Benchmark decontamination — flag training documents that share any
+    word n-gram with a held-out evaluation set (the published GPT-3
+    appendix-C / PaLM / Llama train-test overlap method: 13-gram overlap
+    there; ``n`` tokens here to fit short synthetic docs). The eval set is
+    the deterministic ``doc_id % eval_mod == 0`` slice of the corpus — a
+    self-contained stand-in for an external benchmark suite. Emits, per
+    TRAINING doc: the number of its distinct n-grams that appear anywhere
+    in the eval set and the resulting ``contaminated`` verdict — the rows a
+    decontamination pass would drop before training.
+
+    Scale: the eval n-gram set is tiny relative to the corpus (benchmark
+    suites are MBs; the corpus is TBs), so it is broadcast and the corpus
+    side is NEVER shuffled — one map-side broadcast semi-join over the
+    exploded (doc, gram) stream, then a per-doc hash agg keyed by unique
+    doc_id (no skew). Grams join as raw strings here for cross-engine
+    oracle parity; at 100 TB the same plan runs on xxhash64(gram) to cut
+    the exchange payload 10-50x (collision odds ~2^-64 per pair).
+    """
+    from .dedup_ops import doc_shingles
+
+    is_eval = (F.col(id_col) % eval_mod) == 0
+    eval_grams = (
+        doc_shingles(df.filter(is_eval), id_col, text_col, n)
+        .select("shingle").distinct()
+    )
+    train = df.filter(~is_eval)
+    hits = (
+        doc_shingles(train, id_col, text_col, n)
+        .join(F.broadcast(eval_grams), "shingle")
+        .groupBy("_id")
+        .agg(F.count(F.lit(1)).alias("n_eval_grams_hit"))
+    )
+    return (
+        train.select(F.col(id_col))
+        .join(hits.withColumnRenamed("_id", id_col), id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("n_eval_grams_hit", F.lit(0)).alias("n_eval_grams_hit"),
+            (F.coalesce("n_eval_grams_hit", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )

@@ -619,6 +619,28 @@ FROM b JOIN r USING (doc_id)
 """
 
 
+def doc_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: flag training docs sharing any 8-gram with
+    the deterministic eval slice (doc_id % 97 == 0)."""
+    return textstats.decontaminate(_t(spark, sf_dir, "documents"), n=8)
+
+
+DOC_DECONTAMINATE_SQL = r"""
+WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+g AS (SELECT doc_id, unnest(list_distinct(CASE WHEN len(toks) >= 8
+        THEN list_transform(range(1, len(toks) - 6), i -> array_to_string(toks[i:i+7], ' '))
+        ELSE [array_to_string(toks, ' ')] END)) AS gram FROM t),
+e AS (SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0),
+h AS (SELECT doc_id, count(*) AS n_eval_grams_hit
+      FROM g JOIN e USING (gram) WHERE doc_id % 97 <> 0 GROUP BY doc_id)
+SELECT d.doc_id,
+       CAST(COALESCE(h.n_eval_grams_hit, 0) AS BIGINT) AS n_eval_grams_hit,
+       COALESCE(h.n_eval_grams_hit, 0) > 0 AS contaminated
+FROM (SELECT doc_id FROM documents WHERE doc_id % 97 <> 0) d
+LEFT JOIN h USING (doc_id)
+"""
+
+
 def doc_lang_id(spark, sf_dir):
     return textstats.lang_id(_t(spark, sf_dir, "documents"))
 
@@ -1412,6 +1434,7 @@ QUERIES: dict[str, Query] = {
     "doc_quality": doc_quality,
     "doc_repetition": doc_repetition,
     "doc_gopher_filter": doc_gopher_filter,
+    "doc_decontaminate": doc_decontaminate,
     "doc_lang_id": doc_lang_id,
     "doc_fingerprint": doc_fingerprint,
     "doc_dup_spans": doc_dup_spans,
@@ -1452,6 +1475,7 @@ ORACLES: dict[str, str] = {
     "doc_quality": DOC_QUALITY_SQL,
     "doc_repetition": DOC_REPETITION_SQL,
     "doc_gopher_filter": DOC_GOPHER_FILTER_SQL,
+    "doc_decontaminate": DOC_DECONTAMINATE_SQL,
     "doc_lang_id": DOC_LANG_ID_SQL,
     "doc_fingerprint": DOC_FINGERPRINT_SQL,
     "doc_dup_spans": DOC_DUP_SPANS_SQL,

@@ -460,3 +460,30 @@ def test_crossdoc_dup_spans(spark):
     # doc4: 16 tokens -> 9 windows; window at pos 1 ("r1..r8") == window at
     # pos 9 -> both duplicated; the rest are unique rotations
     assert got[4]["n_windows"] == 9 and got[4]["n_dup_windows"] == 2
+
+
+def test_decontaminate_flags_eval_overlap(spark):
+    """Benchmark decontamination: hand-built corpus where doc 0 is the eval
+    slice (0 % 97 == 0); train docs sharing any 3-gram with it are flagged,
+    the rest pass clean; eval docs never appear in the output."""
+    rows = [
+        (0, "the quick brown fox jumps high"),        # eval (0 % 97 == 0)
+        (1, "the quick brown fox sat down"),          # shares 2 grams with doc 0
+        (2, "completely different words here now"),   # clean
+        (3, "we saw the quick brown fox jumps"),      # shares two 3-grams
+        (97, "unrelated eval document text body"),    # eval too
+        (4, "unrelated eval document for a test"),    # shares "unrelated eval document"
+        (5, "hi"),                                    # sub-n: whole text is the gram
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r.asDict()
+           for r in textstats.decontaminate(df, n=3).collect()}
+    assert set(got) == {1, 2, 3, 4, 5}  # eval rows excluded
+    # doc 1 shares "the quick brown" and "quick brown fox" with eval doc 0
+    assert got[1]["contaminated"] and got[1]["n_eval_grams_hit"] == 2
+    assert not got[2]["contaminated"] and got[2]["n_eval_grams_hit"] == 0
+    # doc 3 shares "the quick brown" and "quick brown fox" and
+    # "brown fox jumps" with eval doc 0
+    assert got[3]["n_eval_grams_hit"] == 3
+    assert got[4]["contaminated"] and got[4]["n_eval_grams_hit"] == 1
+    assert not got[5]["contaminated"]
