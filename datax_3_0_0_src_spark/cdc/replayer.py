@@ -127,9 +127,12 @@ class ReplayConfig:
     compact_overlap: bool = False
     # parquet codec for delta/base/fold files this job writes ("snappy" |
     # "zstd" | ...): zstd shrinks the bytes the memory-bandwidth-bound fold
-    # must re-read/re-write (~35% in the round-5 A/B) for a small compress-CPU
-    # premium on the apply; readers are codec-agnostic (parquet self-describes)
-    file_compression: str = "snappy"
+    # and apply must move (~35-40% in the round-5/6 A/Bs) for a small
+    # compress-CPU premium; the round-6 within-window A/B (tools/ab_codec.py)
+    # made it the default — it wins precisely when the machine is bandwidth-
+    # contended, the realistic wide-cluster regime; readers are codec-
+    # agnostic (parquet self-describes)
+    file_compression: str = "zstd"
     batch_timeout_s: float | None = None   # F13: cancel a wedged batch (watchdog)
     report_interval_s: float | None = None  # F11: periodic counter reporting
     report_sink: object = None              # callable(str); default print

@@ -1,0 +1,141 @@
+"""Incremental materialized-view maintenance over the change data feed.
+
+The consumer side of CDC: a downstream grouped aggregate (count / sum per
+group) kept in sync with a MOR LakeTable by reading ``LakeTable.changes``
+instead of rescanning the table. This is the classic warehouse pattern
+(Delta Live Tables / Flink retract-stream aggregation); the reference's
+analog is chained DataX jobs where a second job re-syncs a derived rollup
+after the base sync lands (job JSONs compose reader->writer stages;
+core/src/main/java/com/alibaba/datax/core/Engine.java drives one such stage
+per run) — here the rollup advances EXACTLY, per version range, without a
+full recompute.
+
+Why not apply feed rows directly to the aggregate? The feed carries
+post-images only (upserts + tombstones, no pre-image), so a grouped count
+cannot be advanced from the feed alone: an upsert that moves a url from
+lang='de' to lang='en' must decrement de and increment en, and the 'de' is
+not in the feed. Rather than persist a second keyed pre-image store (double
+write amplification on the hot path), the refresh recomputes ONLY the
+changed keys' contributions at the two snapshot versions:
+
+  1. changed keys  = distinct key in changes(since, until)   (feed scan)
+  2. affected buckets = their bucket ids (driver-side list, <= num_buckets)
+  3. old = read(@since, buckets) semi-join keys -> group agg, negated
+  4. new = read(@until, buckets) semi-join keys -> group agg
+  5. mv' = mv  (outer-join)+  (old ∪ new re-agg), zero-count groups dropped
+
+Scale: steps 3-4 scan only the affected buckets (bucket pruning via the
+manifest — a micro-batch touches a small key set, so at 10^10-row scale this
+reads GBs, not the full table), the changed-key set broadcasts into the
+semi-joins (no table-side shuffle), and the group-space delta is tiny. The
+refresh is idempotent per (since, until) range: re-running it from the same
+``mv`` input yields the same output, and chaining ranges v0->v1->v2 equals
+one v0->v2 refresh equals a full recompute at v2 (property-tested).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from .table import LakeTable
+
+
+def full_group_agg(
+    table: LakeTable,
+    group_cols: list[str],
+    *,
+    version: int | None = None,
+    measure: str | None = None,
+) -> DataFrame:
+    """Bootstrap (or audit) aggregate: full scan at ``version``. Columns:
+    group_cols + n_rows (+ sum_<measure>)."""
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    if measure:
+        # sum-of-no-values is 0.0 (not SQL NULL): the incremental path's
+        # additive merge has no way to represent "never saw a value", and 0
+        # is the right identity for a maintained sum
+        aggs.append(F.coalesce(F.sum(measure).cast("double"), F.lit(0.0))
+                    .alias(f"sum_{measure}"))
+    return table.read(version).groupBy(*group_cols).agg(*aggs)
+
+
+def refresh_group_agg(
+    table: LakeTable,
+    mv: DataFrame | None,
+    since_version: int,
+    until_version: int | None = None,
+    *,
+    group_cols: list[str],
+    measure: str | None = None,
+) -> DataFrame:
+    """Advance ``mv`` (the grouped aggregate of ``table`` as of
+    ``since_version``) to ``until_version`` using only the change feed and
+    changed-key-scoped, bucket-pruned reads. ``mv=None`` means the aggregate
+    of an empty key set (bootstrapping from since_version=0 of a table whose
+    v0 is empty == full compute). Group/measure columns introduced by
+    additive evolution inside the range are null-backfilled when scanning
+    the pre-evolution snapshot (the table read's own semantics)."""
+    until = table.snapshot().version if until_version is None else until_version
+    key = table.snapshot().properties["key"]
+    mcols = [f"sum_{measure}"] if measure else []
+    out_cols = [*group_cols, "n_rows", *mcols]
+    def base_mv() -> DataFrame:
+        if mv is not None:
+            return mv.select(*out_cols)
+        return full_group_agg(table, list(group_cols), measure=measure,
+                              version=until).limit(0)
+
+    if until <= since_version:
+        return base_mv()
+
+    keys = table.changes(since_version, until).select(key).distinct()
+    bucket_rows = keys.select(
+        table._bucket_expr(key).alias("b")).distinct().collect()
+    buckets = sorted(int(r["b"]) for r in bucket_rows)
+    if not buckets:
+        return base_mv()
+
+    # columns the aggregate needs, typed from the UNTIL snapshot: a group or
+    # measure column introduced by additive evolution inside the range is
+    # null-backfilled when scanning the pre-evolution since-snapshot (the
+    # same semantics the table read itself applies to pre-evolution FILES)
+    need = [*group_cols, *([measure] if measure else [])]
+    until_types = {f.name: f.dataType for f in table.read(until).schema.fields}
+
+    def contrib(version: int, sign: int) -> DataFrame:
+        scoped = table.read(version, buckets=buckets)
+        for c in need:
+            if c not in scoped.columns:
+                scoped = scoped.withColumn(c, F.lit(None).cast(until_types[c]))
+        scoped = scoped.join(F.broadcast(keys), key, "left_semi")
+        aggs = [F.sum(F.lit(sign)).cast("long").alias("n_rows")]
+        if measure:
+            aggs.append(
+                (F.lit(sign) * F.sum(measure)).cast("double")
+                .alias(f"sum_{measure}"))
+        return scoped.groupBy(*group_cols).agg(*aggs)
+
+    delta = (
+        contrib(since_version, -1)
+        .unionByName(contrib(until, +1))
+        .groupBy(*group_cols)
+        .agg(F.sum("n_rows").alias("_d_n"),
+             *[F.sum(c).alias(f"_d_{c}") for c in mcols])
+    )
+    # null-safe equi-join on the group keys: a NULL group value is a real
+    # group (e.g. lang unset) and must merge, not duplicate
+    b, d = base_mv().alias("b"), delta.alias("d")
+    cond = None
+    for c in group_cols:
+        eq = b[c].eqNullSafe(d[c])
+        cond = eq if cond is None else (cond & eq)
+    merged = b.join(d, cond, "full")
+    n = (F.coalesce(b["n_rows"], F.lit(0)) + F.coalesce(d["_d_n"], F.lit(0)))
+    sel = [*[F.coalesce(b[c], d[c]).alias(c) for c in group_cols],
+           n.alias("n_rows")]
+    for c in mcols:
+        sel.append((F.coalesce(b[c], F.lit(0.0))
+                    + F.coalesce(d[f"_d_{c}"], F.lit(0.0))).alias(c))
+    # groups whose rows all left drop out entirely (count keeps the MV's
+    # support set exact; a sum-only residual of 0.0 would be a phantom group)
+    return merged.select(*sel).filter(F.col("n_rows") > 0)

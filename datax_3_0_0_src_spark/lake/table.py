@@ -154,11 +154,15 @@ class LakeTable:
         # Parquet codec for files THIS writer produces (deltas, COW bases,
         # fold output). Readers never consult it — parquet files are
         # self-describing, so a table can mix codecs across generations.
-        # zstd trades ~15-25% extra compress CPU for ~30-40% smaller files;
-        # on a RAM-backed (page-cached) store the fold is memory-bandwidth-
-        # bound, so smaller bytes-on-disk is the lever that speeds it up
-        # (round-4 verdict item 2 A/B; see BENCH.md).
-        self.compression = "snappy"
+        # zstd trades ~15-25% extra compress CPU for ~30-40% smaller files
+        # (measured: 1.9 GB vs 3.1 GB delta sets at 16M events); whenever
+        # the store or the socket is bandwidth-contended — RAM-backed page
+        # cache here, object-store egress or disk at cluster scale — smaller
+        # bytes win. Decided by the round-6 A/B (tools/ab_codec.py, 16M
+        # events, within-window pairs: 32-core apply 45.3s zstd vs 78.8s
+        # snappy best-of, 8-core a tie; concurring: round-5 fold lab 10.9s
+        # vs 12.6s and all four round-5 within-window 32-core pairs).
+        self.compression = "zstd"
 
     # ------------------------------------------------------------- lifecycle
     @classmethod

@@ -300,3 +300,50 @@ def decontaminate(
             (F.coalesce("n_eval_grams_hit", F.lit(0)) > 0).alias("contaminated"),
         )
     )
+
+
+# PII patterns: explicit character classes only (no \d/\s shorthand, no
+# lookaround, no backrefs) so Java regex (Spark) and RE2 (DuckDB oracle)
+# match byte-for-byte identically. Redaction is SEQUENTIAL — email, then
+# ipv4, then phone — and each count is taken on the text as it stands at
+# that step, so both engines see the same non-overlapping leftmost matches.
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+"
+PII_IPV4 = (r"\b[0-9][0-9]?[0-9]?\.[0-9][0-9]?[0-9]?"
+            r"\.[0-9][0-9]?[0-9]?\.[0-9][0-9]?[0-9]?\b")
+PII_PHONE = r"\+?[0-9][0-9() \-]{7,}[0-9]"
+
+
+def pii_scrub(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """PII redaction — the standard web-corpus cleaning step (C4 and
+    RefinedWeb both strip contact strings before training): replace emails,
+    IPv4 addresses, and phone-like digit runs with typed placeholder tokens
+    and report per-kind match counts plus a ``has_pii`` verdict.
+
+    Pure Column expressions (regexp_count / regexp_replace, JVM-side,
+    whole-stage codegen — no Python in the hot path); embarrassingly
+    parallel per row, no shuffle, scales linearly to 100 TB. Reference
+    parity note: DataX's transformer pipeline exposes dx_replace/dx_filter
+    (transformer/src/.../ReplaceTransformer.java) for exactly this kind of
+    per-record scrub; this operator is that stage specialised to PII with
+    auditable counts.
+    """
+    t0 = F.col(text_col)
+    n_email = F.regexp_count(t0, F.lit(PII_EMAIL))
+    t1 = F.regexp_replace(t0, PII_EMAIL, "<EMAIL>")
+    n_ip = F.regexp_count(t1, F.lit(PII_IPV4))
+    t2 = F.regexp_replace(t1, PII_IPV4, "<IP>")
+    n_phone = F.regexp_count(t2, F.lit(PII_PHONE))
+    t3 = F.regexp_replace(t2, PII_PHONE, "<PHONE>")
+    return df.select(
+        F.col(id_col),
+        t3.alias("text_scrubbed"),
+        n_email.cast("long").alias("n_emails"),
+        n_ip.cast("long").alias("n_ipv4s"),
+        n_phone.cast("long").alias("n_phones"),
+        ((n_email + n_ip + n_phone) > 0).alias("has_pii"),
+    )

@@ -240,6 +240,65 @@ FROM v
 """
 
 
+_MV_BASE = os.path.join(tempfile.gettempdir(), "cdc_incr_mv_42_20000")
+
+
+def cdc_incremental_mv(spark, sf_dir):
+    """Incremental materialized-view maintenance (lake/mv.py): replay the WAL
+    into a MOR table, then advance a per-lang count MV version-by-version from
+    the change data feed — changed-key-scoped, bucket-pruned delta refresh,
+    never a full rescan after bootstrap. The returned MV is the CHAINED
+    refresh across every commit, so the oracle (full group-count of the final
+    LWW state) proves incremental == full recompute end-to-end."""
+    import shutil
+
+    from .cdc.gen import EventGenConfig, write_event_log
+    from .cdc.replayer import ReplayConfig, Replayer
+    from .lake.mv import refresh_group_agg
+
+    cfg = EventGenConfig(seed=42, n_events=20_000, events_per_epoch=5_000)
+    base = _MV_BASE
+    log_dir = os.path.join(base, "wal")
+    if not os.path.isdir(log_dir):
+        write_event_log(spark, cfg, log_dir, slices=8)
+    for sub in ("pages", "work"):
+        shutil.rmtree(os.path.join(base, sub), ignore_errors=True)
+    rep = Replayer(
+        spark,
+        ReplayConfig(
+            log_dir=log_dir,
+            table_path=os.path.join(base, "pages"),
+            work_dir=os.path.join(base, "work"),
+            num_buckets=16,
+            merge_mode="mor",
+            dedup_per_batch=False,
+            single_pass=True,
+            lineage_level="global",
+        ),
+    )
+    rep.run()
+    t = rep.table
+    mv = None
+    for v in range(0, t.snapshot().version):
+        mv = refresh_group_agg(t, mv, v, v + 1, group_cols=["lang"])
+    return mv.select("lang", "n_rows")
+
+
+CDC_INCREMENTAL_MV_SQL = f"""
+WITH w AS (SELECT * FROM read_parquet('{_MV_BASE}/wal/epoch=*/*.parquet')),
+v AS (SELECT * FROM w
+      WHERE url IS NOT NULL AND warc_ts IS NOT NULL
+        AND (op = 'D' OR (html IS NOT NULL
+             AND CAST(html AS VARCHAR) LIKE '<html>%'
+             AND CAST(html AS VARCHAR) LIKE '%</body></html>'))),
+r AS (SELECT *, row_number() OVER (PARTITION BY url
+        ORDER BY warc_ts DESC, log_offset DESC) AS rn FROM v)
+SELECT lang, count(*) AS n_rows
+FROM r WHERE rn = 1 AND op <> 'D'
+GROUP BY lang
+"""
+
+
 def cdc_cell_changes(spark, sf_dir):
     """Cell-change output mode: one row per changed cell with an op tag and a
     per-event sequence id — the reference's MULTI_VERSION record shape
@@ -639,6 +698,36 @@ SELECT d.doc_id,
 FROM (SELECT doc_id FROM documents WHERE doc_id % 97 <> 0) d
 LEFT JOIN h USING (doc_id)
 """
+
+
+def doc_pii_scrub(spark, sf_dir):
+    """PII redaction with per-kind counts (emails / IPv4s / phone runs)."""
+    return textstats.pii_scrub(_t(spark, sf_dir, "documents"))
+
+
+# Same sequential redaction as the Spark op (email -> ipv4 -> phone), each
+# count taken on the text as it stands at that step; patterns are shared
+# RE2/Java-safe literals from textstats (no \d/\s shorthand, no lookaround).
+DOC_PII_SCRUB_SQL = r"""
+WITH s0 AS (SELECT doc_id, text AS t0 FROM documents),
+s1 AS (SELECT doc_id, t0,
+         regexp_replace(t0, '{email}', '<EMAIL>', 'g') AS t1 FROM s0),
+s2 AS (SELECT doc_id, t0, t1,
+         regexp_replace(t1, '{ipv4}', '<IP>', 'g') AS t2 FROM s1),
+s3 AS (SELECT doc_id, t0, t1, t2,
+         regexp_replace(t2, '{phone}', '<PHONE>', 'g') AS t3 FROM s2)
+SELECT doc_id,
+       t3 AS text_scrubbed,
+       CAST(len(regexp_extract_all(t0, '{email}')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(t1, '{ipv4}')) AS BIGINT) AS n_ipv4s,
+       CAST(len(regexp_extract_all(t2, '{phone}')) AS BIGINT) AS n_phones,
+       (len(regexp_extract_all(t0, '{email}'))
+        + len(regexp_extract_all(t1, '{ipv4}'))
+        + len(regexp_extract_all(t2, '{phone}'))) > 0 AS has_pii
+FROM s3
+""".format(email=textstats.PII_EMAIL.replace("'", "''"),
+           ipv4=textstats.PII_IPV4.replace("'", "''"),
+           phone=textstats.PII_PHONE.replace("'", "''"))
 
 
 def doc_lang_id(spark, sf_dir):
@@ -1421,6 +1510,7 @@ QUERIES: dict[str, Query] = {
     "cdc_replay_fused": cdc_replay_fused,
     "cdc_cell_changes": cdc_cell_changes,
     "cdc_changes_feed": cdc_changes_feed,
+    "cdc_incremental_mv": cdc_incremental_mv,
     "tpch_q1_pricing": tpch_q1_pricing,
     "tpch_q3_shipping": tpch_q3_shipping,
     "tpch_q5_nation_revenue": tpch_q5_nation_revenue,
@@ -1435,6 +1525,7 @@ QUERIES: dict[str, Query] = {
     "doc_repetition": doc_repetition,
     "doc_gopher_filter": doc_gopher_filter,
     "doc_decontaminate": doc_decontaminate,
+    "doc_pii_scrub": doc_pii_scrub,
     "doc_lang_id": doc_lang_id,
     "doc_fingerprint": doc_fingerprint,
     "doc_dup_spans": doc_dup_spans,
@@ -1462,6 +1553,7 @@ ORACLES: dict[str, str] = {
     "cdc_apply_changes": CDC_APPLY_CHANGES_SQL,
     "cdc_cell_changes": CDC_CELL_CHANGES_SQL,
     "cdc_changes_feed": CDC_CHANGES_FEED_SQL,
+    "cdc_incremental_mv": CDC_INCREMENTAL_MV_SQL,
     "tpch_q1_pricing": TPCH_Q1_SQL,
     "tpch_q3_shipping": TPCH_Q3_SQL,
     "tpch_q5_nation_revenue": TPCH_Q5_SQL,
@@ -1476,6 +1568,7 @@ ORACLES: dict[str, str] = {
     "doc_repetition": DOC_REPETITION_SQL,
     "doc_gopher_filter": DOC_GOPHER_FILTER_SQL,
     "doc_decontaminate": DOC_DECONTAMINATE_SQL,
+    "doc_pii_scrub": DOC_PII_SCRUB_SQL,
     "doc_lang_id": DOC_LANG_ID_SQL,
     "doc_fingerprint": DOC_FINGERPRINT_SQL,
     "doc_dup_spans": DOC_DUP_SPANS_SQL,

@@ -487,3 +487,24 @@ def test_decontaminate_flags_eval_overlap(spark):
     assert got[3]["n_eval_grams_hit"] == 3
     assert got[4]["contaminated"] and got[4]["n_eval_grams_hit"] == 1
     assert not got[5]["contaminated"]
+
+
+def test_pii_scrub_redacts_and_counts(spark):
+    rows = [
+        (1, "contact me at bob.smith+x@mail.example.org or 10.0.0.1 today"),
+        (2, "call +1 (555) 123-4567 now"),
+        (3, "clean text with no contact details at all"),
+        (4, "two mails a@b.io c@d.co one ip 192.168.001.255"),
+        (5, "version 1.2.3.4.5 is not an ip boundary-wise"),  # \b still hits 1.2.3.4
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r.asDict()
+           for r in textstats.pii_scrub(df).collect()}
+    assert got[1]["n_emails"] == 1 and got[1]["n_ipv4s"] == 1
+    assert got[1]["text_scrubbed"] == "contact me at <EMAIL> or <IP> today"
+    assert got[2]["n_phones"] == 1 and got[2]["text_scrubbed"] == "call <PHONE> now"
+    assert not got[3]["has_pii"] and got[3]["text_scrubbed"] == rows[2][1]
+    assert got[4]["n_emails"] == 2 and got[4]["n_ipv4s"] == 1
+    # "1.2.3.4.5": the regex takes the leftmost \b-anchored quad "1.2.3.4"
+    assert got[5]["n_ipv4s"] == 1 and "<IP>.5" in got[5]["text_scrubbed"]
+    assert all(got[i]["has_pii"] for i in (1, 2, 4))
