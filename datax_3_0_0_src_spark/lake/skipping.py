@@ -1,0 +1,342 @@
+"""Advisory data-skipping sidecars: per-file ts stats + per-bucket key blooms.
+
+Two file-skipping indices layered OUTSIDE the transactional core (the
+manifest stays the single source of correctness; everything here is
+advisory — a missing or stale sidecar only costs pruning, never rows):
+
+- **ts stats** (`_stats.json`, one per immutable write dir): min/max of the
+  table's ts column per data file, harvested from the parquet footers that
+  the MOR commit already opens for row counts — zero extra I/O on the hot
+  apply path. Written AFTER the data files and BEFORE the manifest commit,
+  so a crashed attempt's stats die with its orphan dir. CDC delta files are
+  naturally time-clustered (each micro-batch covers a slice of WAL time),
+  so `scan_ts_range` skips almost every file outside the window — the same
+  metadata-based split pruning Iceberg plans from its manifest value ranges.
+
+- **key blooms** (`_blooms/b{bucket}.parquet`, atomically replaced): a
+  blocked bloom filter per data/delta file over ``xxhash64(key)``, built by
+  one Spark job at MAINTENANCE time (compact cadence), exactly like
+  Iceberg's Puffin blobs — never on the ingest hot path. Point lookups
+  (`LakeTable.lookup`) then touch one bucket (hash pruning), probe the
+  bucket's bloom sidecar driver-side (KB–MB), and read only the files that
+  may hold the key. min/max CANNOT serve this: keys are hash-distributed
+  across a bucket, so every file's [min,max] spans the key space; the
+  bloom is the index with discriminating power. No false negatives by
+  construction: a file is only skipped when its own bloom row rejects
+  every probed key; files without a row (e.g. deltas layered after the
+  build) are always kept.
+
+Reference parity: DataX plans splits from driver-side metadata too (table
+ranges in RdbmsRangeSplitWrap, reference
+plugin-rdbms-util/src/main/java/com/alibaba/datax/plugin/rdbms/util/RdbmsRangeSplitWrap.java),
+but has no per-file skipping because it streams sources once; this module is
+what replaces full scans when the same data is SERVED back out of the lake.
+
+100 TB story: stats are O(files) driver JSON sharded per write dir (loaded
+only for candidate buckets); blooms are O(bucket) sidecars probed only for
+the buckets a lookup hashes to (1 bucket per key of 4096); the bloom BUILD
+is a single columnar scan of (key) with per-file Arrow-batched aggregation —
+the one full pass, amortized over every later point lookup, and restrictable
+to changed buckets via ``buckets=``.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+from concurrent.futures import ThreadPoolExecutor
+from datetime import timezone
+
+import numpy as np
+
+STATS_NAME = "_stats.json"
+BLOOM_DIR = "_blooms"
+_HASH_MUL = np.uint64(0x9E3779B97F4A7C15)  # odd step for double hashing
+
+
+# ---------------------------------------------------------------- ts stats
+def _to_micros(v) -> int | None:
+    """Parquet footer stat -> int epoch-micros (pyarrow yields datetimes for
+    timestamp logical types; Spark writes TIMESTAMP_MICROS adjusted-to-UTC,
+    surfaced tz-naive => interpret as UTC)."""
+    if v is None:
+        return None
+    if isinstance(v, (int, np.integer)):
+        return int(v)
+    if hasattr(v, "timestamp"):
+        if v.tzinfo is None:
+            v = v.replace(tzinfo=timezone.utc)
+        return int(round(v.timestamp() * 1_000_000))
+    return None
+
+
+def footer_stats(path: str, ts_col: str):
+    """(num_rows, ts_min_us|None, ts_max_us|None) from one parquet footer.
+
+    Metadata-only: no data pages are read. Missing/partial column stats
+    (all-null files, stats disabled) degrade to None => never pruned."""
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(path).metadata
+    lo = hi = None
+    ok = True
+    for rg in range(md.num_row_groups):
+        row_group = md.row_group(rg)
+        found = False
+        for ci in range(row_group.num_columns):
+            col = row_group.column(ci)
+            if col.path_in_schema != ts_col:
+                continue
+            found = True
+            st = col.statistics
+            if st is None or not st.has_min_max:
+                ok = False
+                break
+            mn, mx = _to_micros(st.min), _to_micros(st.max)
+            if mn is None or mx is None:
+                ok = False
+                break
+            lo = mn if lo is None else min(lo, mn)
+            hi = mx if hi is None else max(hi, mx)
+        if not ok or not found:
+            ok = False
+            break
+    if not ok:
+        lo = hi = None
+    return md.num_rows, lo, hi
+
+
+def write_dir_stats(
+    table_path: str,
+    rel_files: list[str],
+    ts_col: str,
+    *,
+    precomputed: dict[str, tuple[int | None, int | None]] | None = None,
+) -> None:
+    """Write `_stats.json` into each write dir covering ``rel_files``.
+
+    ``precomputed`` lets the MOR hot path reuse footer opens it already did;
+    anything not precomputed is read here (thread pool, metadata-only).
+    Idempotent and crash-safe: tmp + rename per dir, dirs are immutable."""
+    by_dir: dict[str, dict[str, list]] = {}
+    pre = precomputed or {}
+    todo = [f for f in rel_files if f not in pre]
+    got: dict[str, tuple[int | None, int | None]] = dict(pre)
+    if todo:
+        with ThreadPoolExecutor(max_workers=min(8, len(todo))) as pool:
+            for f, (_n, lo, hi) in zip(todo, pool.map(
+                lambda rf: footer_stats(os.path.join(table_path, rf), ts_col),
+                todo,
+            )):
+                got[f] = (lo, hi)
+    for f, (lo, hi) in got.items():
+        # _stats.json sits at the WRITE-DIR root (above the _bucket=N
+        # partition dirs): one sidecar per commit, keyed by table-relative
+        # path so loaders never reconstruct partition layout
+        parts = f.split("/")
+        d = "/".join(parts[:2]) if parts[0] == "data" and len(parts) > 2 else os.path.dirname(f)
+        by_dir.setdefault(d, {})[f] = [lo, hi]
+    for d, stats in by_dir.items():
+        target_dir = os.path.join(table_path, d)
+        if not os.path.isdir(target_dir):
+            continue
+        path = os.path.join(target_dir, STATS_NAME)
+        merged = dict(stats)
+        if os.path.exists(path):  # concurrent writers into one dir: merge
+            try:
+                with open(path) as fh:
+                    old = json.load(fh)
+                merged = {**old, **stats}
+            except (OSError, ValueError):
+                pass
+        fd, tmp = tempfile.mkstemp(dir=target_dir, suffix=".tmp")
+        with os.fdopen(fd, "w") as fh:
+            json.dump(merged, fh)
+        os.replace(tmp, path)
+
+
+_STATS_CACHE: dict[str, dict] = {}  # abs dir -> stats (dirs are immutable)
+
+
+def load_stats(table_path: str, rel_files: list[str]) -> dict[str, list]:
+    """{rel_file: [ts_min_us, ts_max_us]} for the files whose write dir has
+    a stats sidecar; files with no entry are simply absent (=> kept)."""
+    out: dict[str, list] = {}
+    dirs: dict[str, list[str]] = {}
+    for f in rel_files:
+        parts = f.split("/")
+        d = "/".join(parts[:2]) if parts[0] == "data" and len(parts) > 2 else os.path.dirname(f)
+        dirs.setdefault(d, []).append(f)
+    for d, fs in dirs.items():
+        abs_d = os.path.join(table_path, d)
+        cached = _STATS_CACHE.get(abs_d)
+        if cached is None:
+            path = os.path.join(abs_d, STATS_NAME)
+            try:
+                with open(path) as fh:
+                    cached = json.load(fh)
+            except (OSError, ValueError):
+                cached = {}
+            _STATS_CACHE[abs_d] = cached
+        for f in fs:
+            if f in cached:
+                out[f] = cached[f]
+    return out
+
+
+def prune_by_ts(
+    table_path: str, rel_files: list[str], lo_us: int | None, hi_us: int | None
+) -> tuple[list[str], int]:
+    """Keep files whose [min,max] ts intersects [lo,hi]; unknown => kept.
+    Returns (kept, n_skipped)."""
+    stats = load_stats(table_path, rel_files)
+    kept = []
+    for f in rel_files:
+        s = stats.get(f)
+        if s is None or s[0] is None or s[1] is None:
+            kept.append(f)
+            continue
+        if (hi_us is not None and s[0] > hi_us) or (lo_us is not None and s[1] < lo_us):
+            continue
+        kept.append(f)
+    return kept, len(rel_files) - len(kept)
+
+
+# ------------------------------------------------------------------ blooms
+def _bit_positions(h: np.ndarray, k: int, nbits: int) -> np.ndarray:
+    """(k, n) bit positions via double hashing of the 64-bit key hash.
+    Shared verbatim by build and probe => no false negatives possible."""
+    h = h.astype(np.uint64, copy=False)
+    h1 = h ^ (h >> np.uint64(33))
+    h2 = (h * _HASH_MUL) | np.uint64(1)
+    ks = np.arange(k, dtype=np.uint64)[:, None]
+    return ((h1[None, :] + ks * h2[None, :]) % np.uint64(nbits)).astype(np.int64)
+
+
+def _bloom_path(table_path: str, bucket: int) -> str:
+    return os.path.join(table_path, BLOOM_DIR, f"b{bucket:05d}.parquet")
+
+
+def build_blooms(
+    spark,
+    table,
+    *,
+    buckets: list[int] | None = None,
+    bits_per_key: int = 10,
+) -> dict[int, int]:
+    """Build per-file key blooms for the given buckets (default: all with
+    data) and atomically replace each bucket's sidecar. Returns
+    {bucket: files_covered}.
+
+    One Spark job: a columnar scan of (xxhash64(key), _metadata.file_path)
+    over the candidate files, grouped per file, each group folding its
+    hashes into a power-of-two bitmap executor-side (Arrow-batched pandas,
+    numpy bit ops). Collected results are KB/file; the sidecar write is
+    driver-side pyarrow + rename (advisory data — losing a race to a
+    concurrent rebuild is harmless)."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    snap = table.snapshot()
+    key = snap.properties["key"]
+    all_b = sorted({int(b) for b in set(snap.files) | set(snap.deltas)})
+    todo = all_b if buckets is None else [b for b in all_b if b in set(buckets)]
+    rel_by_bucket = {
+        b: snap.bucket_files(b) + snap.bucket_deltas(b) for b in todo
+    }
+    rel_all = [f for fs in rel_by_bucket.values() for f in fs]
+    if not rel_all:
+        return {}
+    paths = [os.path.join(table.path, f) for f in rel_all]
+    kbits = max(1, int(round(bits_per_key * 0.6931)))  # k = m/n * ln2
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        hs = pdf["h"].dropna()  # xxhash64(null key) is null — never indexed
+        h = np.unique(hs.to_numpy(dtype=np.int64).view(np.uint64))
+        n = max(len(h), 1)
+        nbits = 1 << max(6, int(np.ceil(np.log2(n * bits_per_key))))
+        bitmap = np.zeros(nbits // 8, dtype=np.uint8)
+        pos = _bit_positions(h, kbits, nbits).ravel()
+        np.bitwise_or.at(bitmap, pos >> 3, np.uint8(1) << (pos & 7).astype(np.uint8))
+        return pd.DataFrame(
+            {"fp": [pdf["fp"].iloc[0]], "nkeys": [len(h)], "nbits": [nbits],
+             "k": [kbits], "bits": [bitmap.tobytes()]}
+        )
+
+    rows = (
+        spark.read.parquet(*paths)
+        .select(
+            F.xxhash64(F.col(key)).alias("h"),
+            F.col("_metadata.file_path").alias("fp"),
+        )
+        .groupBy("fp")
+        .applyInPandas(fold, "fp string, nkeys long, nbits int, k int, bits binary")
+        .collect()
+    )
+    # URI file path -> table-relative (same rule as _apply_dvs: everything
+    # after the LAST "/data/" is inside the table's own data root)
+    by_rel = {}
+    for r in rows:
+        rel = "data/" + r["fp"].split("/data/")[-1]
+        by_rel[rel] = (r["nkeys"], r["nbits"], r["k"], r["bits"])
+    os.makedirs(os.path.join(table.path, BLOOM_DIR), exist_ok=True)
+    out: dict[int, int] = {}
+    for b, fs in rel_by_bucket.items():
+        entries = [(f, *by_rel[f]) for f in fs if f in by_rel]
+        if not entries:
+            continue
+        t = pa.table({
+            "file": [e[0] for e in entries],
+            "nkeys": pa.array([e[1] for e in entries], pa.int64()),
+            "nbits": pa.array([e[2] for e in entries], pa.int32()),
+            "k": pa.array([e[3] for e in entries], pa.int32()),
+            "bits": pa.array([e[4] for e in entries], pa.binary()),
+        })
+        path = _bloom_path(table.path, b)
+        fd, tmp = tempfile.mkstemp(dir=os.path.dirname(path), suffix=".tmp")
+        os.close(fd)
+        pq.write_table(t, tmp, compression="zstd")
+        os.replace(tmp, path)
+        out[b] = len(entries)
+    return out
+
+
+def probe_blooms(
+    table_path: str, bucket: int, rel_files: list[str], khashes: np.ndarray
+) -> tuple[list[str], int]:
+    """Keep the files of one bucket that may contain ANY of the probed key
+    hashes (int64 xxhash64 values). Files without a bloom row are kept.
+    Returns (kept, n_skipped)."""
+    import pyarrow.parquet as pq
+
+    path = _bloom_path(table_path, bucket)
+    if not os.path.exists(path) or len(rel_files) == 0 or len(khashes) == 0:
+        return list(rel_files), 0
+    try:
+        t = pq.read_table(path)
+    except (OSError, ValueError):
+        return list(rel_files), 0
+    rows = {
+        f: (nb, k, b)
+        for f, nb, k, b in zip(
+            t["file"].to_pylist(), t["nbits"].to_pylist(),
+            t["k"].to_pylist(), t["bits"].to_pylist(),
+        )
+    }
+    h = np.asarray(khashes, dtype=np.int64).view(np.uint64)
+    kept = []
+    for f in rel_files:
+        row = rows.get(f)
+        if row is None:
+            kept.append(f)
+            continue
+        nbits, k, bits = row
+        bitmap = np.frombuffer(bits, dtype=np.uint8)
+        pos = _bit_positions(h, k, nbits)  # (k, n)
+        present = (bitmap[pos >> 3] & (np.uint8(1) << (pos & 7).astype(np.uint8))) != 0
+        if bool(present.all(axis=0).any()):  # some key passes all k probes
+            kept.append(f)
+    return kept, len(rel_files) - len(kept)

@@ -163,6 +163,8 @@ class LakeTable:
         # snappy best-of, 8-core a tie; concurring: round-5 fold lab 10.9s
         # vs 12.6s and all four round-5 within-window 32-core pairs).
         self.compression = "zstd"
+        # diagnostics from the last lookup()/scan_ts_range() pruning pass
+        self.last_prune: dict = {}
 
     # ------------------------------------------------------------- lifecycle
     @classmethod
@@ -330,6 +332,172 @@ class LakeTable:
         if not with_sys_cols:
             df = df.select(*user_schema.fieldNames())
         return df
+
+    # -------------------------------------------------- data-skipping reads
+    def build_key_blooms(
+        self, *, buckets: list[int] | None = None, bits_per_key: int = 10
+    ) -> dict[int, int]:
+        """Build/refresh the advisory per-file key blooms (skipping.py) for
+        point-lookup pruning. A maintenance op (compact cadence), never on
+        the ingest hot path — Iceberg's Puffin pattern. Returns
+        {bucket: files_covered}."""
+        from . import skipping
+
+        return skipping.build_blooms(
+            self.spark, self, buckets=buckets, bits_per_key=bits_per_key)
+
+    def lookup(
+        self,
+        keys: list,
+        *,
+        version: int | None = None,
+        include_deleted: bool = False,
+    ) -> DataFrame:
+        """Pruned point lookup: current-state rows for the given key values.
+
+        Three skipping layers, all metadata/driver-side before the one scan:
+        bucket hashing (each key touches 1 of num_buckets file groups), the
+        bucket's bloom sidecar (per-file membership of xxhash64(key) — no
+        false negatives; files without a bloom row, e.g. deltas layered
+        after the last build, are always read), then an exact ``IN`` filter
+        pushed to the parquet scan. LWW stays exact under pruning because a
+        key's rows are confined to its bucket and blooms never skip a file
+        that holds the key. At 100 TB a 5-key lookup plans from KB of
+        manifest + bloom sidecar reads and scans a handful of files.
+
+        Intended for point reads (up to ~thousands of keys — the key list
+        travels as an IN literal and a driver hash job); for bulk key sets
+        join against :meth:`read` instead. Diagnostics land in
+        ``self.last_prune``."""
+        import numpy as np
+
+        from . import skipping
+
+        snap = self.snapshot(version)
+        user_schema = StructType.fromJson(__import__("json").loads(snap.schema_json))
+        phys = self._physical_schema(user_schema)
+        key, ts_col = snap.properties["key"], snap.properties["ts_col"]
+        keys = [k for k in dict.fromkeys(keys) if k is not None]
+        if not keys:
+            self.last_prune = {"candidate_files": 0, "bloom_skipped": 0,
+                               "scanned_files": 0}
+            return self.spark.createDataFrame([], user_schema)
+        ktype = user_schema[key].dataType
+        kdf = self.spark.createDataFrame(
+            [(k,) for k in keys], StructType([StructField(key, ktype)]))
+        hrows = kdf.select(
+            F.xxhash64(F.col(key)).alias("h"),
+            F.pmod(F.xxhash64(F.col(key)), F.lit(snap.num_buckets))
+            .cast("int").alias("b"),
+        ).collect()
+        by_bucket: dict[int, list[int]] = {}
+        for r in hrows:
+            by_bucket.setdefault(int(r["b"]), []).append(int(r["h"]))
+        files: list[str] = []
+        dfiles: list[str] = []
+        vfiles: list[str] = []
+        cand = skipped = 0
+        for b, hs in sorted(by_bucket.items()):
+            harr = np.array(hs, dtype=np.int64)
+            bf, bd = snap.bucket_files(b), snap.bucket_deltas(b)
+            cand += len(bf) + len(bd)
+            kept_f, s1 = skipping.probe_blooms(self.path, b, bf, harr)
+            kept_d, s2 = skipping.probe_blooms(self.path, b, bd, harr)
+            skipped += s1 + s2
+            files += kept_f
+            dfiles += kept_d
+            vfiles += snap.bucket_dvs(b)
+        self.last_prune = {"candidate_files": cand, "bloom_skipped": skipped,
+                           "scanned_files": len(files) + len(dfiles)}
+        df = self._read_files(files + dfiles, phys)
+        if vfiles:
+            df = self._apply_dvs(df, vfiles)
+        df = df.filter(F.col(key).isin(keys))
+        if dfiles:
+            df = self._resolve_lww(df, key, ts_col)
+        if not include_deleted:
+            df = df.filter(~F.coalesce(F.col(SYS_DELETED), F.lit(False)))
+        return df.select(*user_schema.fieldNames())
+
+    def scan_ts_range(
+        self,
+        lo=None,
+        hi=None,
+        *,
+        version: int | None = None,
+        include_deleted: bool = False,
+    ) -> DataFrame:
+        """Current-state rows whose ts column falls in ``[lo, hi]`` (either
+        bound optional, datetimes interpreted as UTC), with per-file ts
+        min/max pruning from the ``_stats.json`` sidecars.
+
+        Pruning is only LWW-safe for FULLY-FOLDED buckets (no unresolved
+        deltas): there every surviving row is its key's winner, so dropping
+        whole files by ts range drops exactly the out-of-range state rows.
+        A bucket that still carries deltas must resolve over ALL its rows
+        first — pruning before resolution could resurrect a loser whose
+        winner sits outside the window — so such buckets are scanned in
+        full and filtered after resolution ("fold to prune": in the CDC
+        steady state, periodic folds keep most buckets prunable).
+
+        The DV MINOR fold is the natural companion: it resolves LWW with
+        zero rewrite, leaving the per-micro-batch (time-clustered) delta
+        files in place — a narrow window then skips nearly every file. A
+        REWRITE fold coalesces a bucket's whole history into few files,
+        trading ts clustering for file-count hygiene (its output spans the
+        union of its inputs' ranges). Diagnostics land in
+        ``self.last_prune``."""
+        from . import skipping
+
+        snap = self.snapshot(version)
+        user_schema = StructType.fromJson(__import__("json").loads(snap.schema_json))
+        phys = self._physical_schema(user_schema)
+        key, ts_col = snap.properties["key"], snap.properties["ts_col"]
+        lo_us = skipping._to_micros(lo)
+        hi_us = skipping._to_micros(hi)
+        all_b = sorted({int(b) for b in set(snap.files) | set(snap.deltas)})
+        pruned_files: list[str] = []
+        pruned_dvs: list[str] = []
+        full_files: list[str] = []
+        full_dvs: list[str] = []
+        has_deltas_full = False
+        cand = skipped = 0
+        for b in all_b:
+            bf, bd = snap.bucket_files(b), snap.bucket_deltas(b)
+            cand += len(bf) + len(bd)
+            if bd:  # unresolved deltas: resolve over the whole bucket
+                full_files += bf + bd
+                full_dvs += snap.bucket_dvs(b)
+                has_deltas_full = True
+                continue
+            kept, n_skip = skipping.prune_by_ts(self.path, bf, lo_us, hi_us)
+            skipped += n_skip
+            pruned_files += kept
+            pruned_dvs += snap.bucket_dvs(b)
+        self.last_prune = {
+            "candidate_files": cand, "ts_skipped": skipped,
+            "scanned_files": len(pruned_files) + len(full_files),
+        }
+        in_range = F.lit(True)
+        if lo is not None:
+            in_range = in_range & (F.col(ts_col) >= F.lit(lo))
+        if hi is not None:
+            in_range = in_range & (F.col(ts_col) <= F.lit(hi))
+
+        out = self._read_files(pruned_files, phys)
+        if pruned_dvs:
+            out = self._apply_dvs(out, pruned_dvs)
+        out = out.filter(in_range)
+        if full_files:
+            fdf = self._read_files(full_files, phys)
+            if full_dvs:
+                fdf = self._apply_dvs(fdf, full_dvs)
+            if has_deltas_full:
+                fdf = self._resolve_lww(fdf, key, ts_col)
+            out = out.unionByName(fdf.filter(in_range))
+        if not include_deleted:
+            out = out.filter(~F.coalesce(F.col(SYS_DELETED), F.lit(False)))
+        return out.select(*user_schema.fieldNames())
 
     def changes(
         self, since_version: int, until_version: int | None = None
@@ -606,6 +774,9 @@ class LakeTable:
         (merged.write.option("compression", self.compression).mode("errorifexists").partitionBy(SYS_BUCKET).parquet(out_dir))
 
         written = self._written_buckets(out_dir, rel_dir)
+        from . import skipping
+        skipping.write_dir_stats(
+            self.path, [f for fs in written.values() for f in fs], ts_col)
         stray = sorted(set(written) - set(touched))
         if stray:
             raise RuntimeError(
@@ -703,23 +874,32 @@ class LakeTable:
         laps["write_job"] = _time.monotonic() - _t
         _t = _time.monotonic()
 
-        import pyarrow.parquet as pq
         from concurrent.futures import ThreadPoolExecutor
+
+        from . import skipping
 
         written = self._written_buckets(out_dir, rel_dir)
         # footer reads are tiny but add up serially (buckets × salt files per
         # batch, pure driver latency between the write job and the commit);
-        # read them in a small thread pool — metadata-only, I/O-bound
+        # read them in a small thread pool — metadata-only, I/O-bound. The
+        # same opens also harvest per-file ts min/max for the data-skipping
+        # sidecar (skipping.py) — stats on the hot path cost zero extra I/O.
         flat = [(b, f) for b, fs in written.items() for f in fs]
         per_bucket: dict[int, int] = {b: 0 for b in written}
+        ts_col = snap.properties["ts_col"]
+        pre_stats: dict[str, tuple] = {}
         if flat:
             with ThreadPoolExecutor(max_workers=min(8, len(flat))) as pool:
-                for (b, _f), n in zip(flat, pool.map(
-                    lambda bf: pq.ParquetFile(
-                        os.path.join(self.path, bf[1])).metadata.num_rows,
+                for (b, f), (n, lo, hi) in zip(flat, pool.map(
+                    lambda bf: skipping.footer_stats(
+                        os.path.join(self.path, bf[1]), ts_col),
                     flat,
                 )):
                     per_bucket[b] += int(n)
+                    pre_stats[f] = (lo, hi)
+            skipping.write_dir_stats(
+                self.path, [f for _b, f in flat], ts_col,
+                precomputed=pre_stats)
         batch_rows = int(sum(per_bucket.values()))
         n_new = sum(len(fs) for fs in written.values())
         laps["footers"] = _time.monotonic() - _t
@@ -783,7 +963,12 @@ class LakeTable:
         out.write.option("compression", self.compression).mode("errorifexists").partitionBy(SYS_BUCKET).parquet(out_dir)
         new_files = {b: list(fs) for b, fs in snap.files.items()}
         n_new = 0
-        for b, fs in self._written_buckets(out_dir, rel_dir).items():
+        appended = self._written_buckets(out_dir, rel_dir)
+        from . import skipping
+        skipping.write_dir_stats(
+            self.path, [f for fs in appended.values() for f in fs],
+            snap.properties["ts_col"])
+        for b, fs in appended.items():
             new_files[str(b)] = new_files.get(str(b), []) + fs
             n_new += len(fs)
         new_snap = Snapshot(
@@ -936,6 +1121,9 @@ class LakeTable:
         out_dir = os.path.join(self.path, rel_dir)
         df.write.option("compression", self.compression).mode("errorifexists").partitionBy(SYS_BUCKET).parquet(out_dir)
         written = self._written_buckets(out_dir, rel_dir)
+        from . import skipping
+        skipping.write_dir_stats(
+            self.path, [f for fs in written.values() for f in fs], ts_col)
         return self._commit_fold(todo, folded_files, folded_deltas, written)
 
     def _compact_local(
@@ -1115,6 +1303,9 @@ class LakeTable:
             ]
             for r in stats
         }
+        from . import skipping
+        skipping.write_dir_stats(
+            self.path, [f for fs in written.values() for f in fs], ts_col)
         return self._commit_fold(todo, folded_files, folded_deltas, written)
 
     def _fold_dv(self, snap: Snapshot, todo: list[int]) -> MergeStats:
@@ -1371,6 +1562,10 @@ class LakeTable:
         df.write.option("compression", self.compression).mode(
             "errorifexists").partitionBy(SYS_BUCKET).parquet(out_dir)
         written = self._written_buckets(out_dir, rel_dir)
+        from . import skipping
+        skipping.write_dir_stats(
+            self.path, [f for fs in written.values() for f in fs],
+            snap.properties["ts_col"])
         if pre_commit is not None:
             pre_commit()  # raising aborts with no snapshot (orphan files)
         base = self.snapshot()
@@ -1435,13 +1630,22 @@ class LakeTable:
         for v in versions:
             if v not in keep:
                 os.unlink(os.path.join(meta, f"v{v:08d}.json"))
-        # prune empty dirs
+        # reclaim write dirs that no longer hold any live parquet: the dead
+        # data files were unlinked above, so whatever parquet remains is
+        # referenced — a dir with none left is pure residue (Spark _SUCCESS
+        # + .crc bookkeeping, the advisory _stats.json sidecar) and dies
+        # wholesale with the data it described
         if os.path.isdir(data_root):
             for vdir in list(os.listdir(data_root)):
                 p = os.path.join(data_root, vdir)
-                for root, dirs, fns in os.walk(p, topdown=False):
-                    if not os.listdir(root):
-                        os.rmdir(root)
+                if not os.path.isdir(p):
+                    continue
+                has_live = any(
+                    fn.endswith(".parquet")
+                    for _root, _dirs, fns in os.walk(p) for fn in fns
+                )
+                if not has_live:
+                    shutil.rmtree(p, ignore_errors=True)
         return removed
 
     def drop(self) -> None:
