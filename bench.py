@@ -124,8 +124,11 @@ if os.environ.get("BENCH_COMPRESSION", ""):  # A/B delta/fold codec (r5 item 2)
 if os.environ.get("BENCH_FOLD_OVERLAP", "0") == "1":
     profile["compact_overlap"] = True
     profile["compact_every"] = int(os.environ.get("BENCH_FOLD_EVERY", "4"))
-# 8 micro-batches regardless of input size (measured best pipeline shape at
-# 32 cores); BENCH_CAP overrides for A/Bs, BENCH_CAP=0 = whole-epoch batches
+# 2M-event micro-batches, clamped to N/8 on small inputs (round-6 probe:
+# at 64M events the old N/8 cap made 8M-row batches — 337 s vs 202 s at 32
+# cores for cap=2M in the same window; the 1-2M sweet spot from the 8M/16M
+# sweeps holds at 64M). BENCH_CAP overrides for A/Bs, BENCH_CAP=0 = whole-
+# epoch batches.
 profile["max_events_per_batch"] = {cap}
 if os.environ.get("BENCH_CAP", ""):
     profile["max_events_per_batch"] = int(os.environ["BENCH_CAP"]) or None
@@ -347,60 +350,76 @@ def _steal_jiffies() -> int:
 
 
 def _ceiling_worker(args) -> int:
-    """Fixed pure-CPU unit work: splitmix-style 64-bit hash iterations over a
-    64 KB L2-resident buffer — deliberately COMPUTE-bound (mul/xor/shift), NOT
-    memory-bound: an 8 MB streaming variant of this kernel anti-scaled 8->32
-    (eff 0.09) because 32 workers saturate the VM's shared memory bandwidth,
-    which would make the 'ceiling' read the DRAM bus, not the cores.
-    Module-level for pool pickling."""
-    n_u64, iters, seed = args
+    """Deadline-bounded pure-CPU unit work: splitmix-style 64-bit hash passes
+    over a 64 KB L2-resident buffer — deliberately COMPUTE-bound
+    (mul/xor/shift), NOT memory-bound: an 8 MB streaming variant of this
+    kernel anti-scaled 8->32 (eff 0.09) because 32 workers saturate the VM's
+    shared memory bandwidth, which would make the 'ceiling' read the DRAM
+    bus, not the cores. Runs until the shared wall-clock deadline and returns
+    the units completed (1 unit = one 5-op pass over the buffer); throttled
+    workers complete fewer units in the same window, which is exactly the
+    signal. Module-level for pool pickling."""
+    n_u64, deadline, seed = args
     import numpy as np
 
     x = (np.arange(n_u64, dtype=np.uint64) * np.uint64(2654435761)
          + np.uint64(seed))
-    for _ in range(iters):
-        x ^= x >> np.uint64(33)
-        x *= np.uint64(0xFF51AFD7ED558CCD)
-        x ^= x >> np.uint64(29)
-        x *= np.uint64(0xC4CEB9FE1A85EC53)
-        x ^= x >> np.uint64(32)
-    return int(x[0])
+    units = 0
+    c33, c29, c32 = np.uint64(33), np.uint64(29), np.uint64(32)
+    m1, m2 = np.uint64(0xFF51AFD7ED558CCD), np.uint64(0xC4CEB9FE1A85EC53)
+    while time.monotonic() < deadline:
+        for _ in range(32):  # ~8 ms between clock checks: overhead invisible
+            x ^= x >> c33
+            x *= m1
+            x ^= x >> c29
+            x *= m2
+            x ^= x >> c32
+        units += 32
+    return units
 
 
-# total unit-work (1 unit = one 5-op hash pass over 64 KB) for the ceiling
-# pair: sized so the 8-core level runs ~5 s (long enough to sample the
-# window, short enough not to stretch it)
-CEIL_UNITS = int(os.environ.get("BENCH_CEIL_UNITS", str(1 << 20)))
+# sustained wall-seconds per ceiling level. Round-6 finding: the old
+# fixed-work probe finished in 1.5-9 s and read a noisy 0.45-0.97 across
+# pairs, while the 90-280 s engine children at 32-wide drew steal
+# 0.04-0.13 in the same windows — the host's width-dependent throttle needs
+# a SUSTAINED full-width load to show itself, so a ceiling that doesn't
+# sustain overstates what the box can do and understates the engine.
+CEIL_S = float(os.environ.get("BENCH_CEIL_S", "25"))
 
 
 def ceiling_level(cores: int) -> tuple[float, float]:
-    """(wall seconds, steal jiffies/s) for CEIL_UNITS of embarrassingly-
-    parallel pure-CPU work split over `cores` pinned forked processes — NO
-    Spark, no shuffle, no driver: the N->4N efficiency of this workload is
+    """(units/sec, steal jiffies/s) for CEIL_S seconds of embarrassingly-
+    parallel pure-CPU work over `cores` pinned forked processes — NO Spark,
+    no shuffle, no driver: the N->4N throughput ratio of this workload is
     the MACHINE's ceiling for the same core pair in the same window. On
     dedicated hardware it is ~1.0 by construction; on this shared VM it
     reads host-side co-tenant steal (measured: ~90 steal-jiffies/s when
     8-wide vs ~350/s when 32-wide — the host over-commits precisely when we
     go wide), which is the bound no engine running here can beat (round-6
-    verdict item 1: 'or prove the box can't show it')."""
+    verdict item 1: 'or prove the box can't show it'). Deadline-based so
+    both levels sample an identical-length window regardless of machine
+    speed; all workers stop at the same instant, so stragglers cannot
+    stretch the denominator."""
     import multiprocessing as mp
 
     old = os.sched_getaffinity(0)
     os.sched_setaffinity(0, set(range(cores)))
     try:
         ctx = mp.get_context("fork")
-        per = max(1, CEIL_UNITS // cores)
-        args = [((1 << 13), per, i) for i in range(cores)]
         with ctx.Pool(cores) as pool:
             # warm the workers (numpy import + first-touch) OUTSIDE the
             # timed region: the import tax is constant per worker, which
             # would bias the 4N level's eff denominator upward
-            pool.map(_ceiling_worker, [((1 << 10), 50, i) for i in range(cores)])
+            warm_dl = time.monotonic() + 0.3
+            pool.map(_ceiling_worker, [((1 << 10), warm_dl, i)
+                                       for i in range(cores)])
             s0 = _steal_jiffies()
             t0 = time.monotonic()
-            pool.map(_ceiling_worker, args)
-            dt = time.monotonic() - t0
-            return dt, (_steal_jiffies() - s0) / max(dt, 1e-9)
+            deadline = t0 + CEIL_S
+            units = sum(pool.map(
+                _ceiling_worker, [((1 << 13), deadline, i) for i in range(cores)]))
+            dt = max(time.monotonic() - t0, 1e-9)
+            return units / dt, (_steal_jiffies() - s0) / dt
     finally:
         os.sched_setaffinity(0, old)
 
@@ -408,7 +427,7 @@ def ceiling_level(cores: int) -> tuple[float, float]:
 def replay_subprocess(cores: int, *, do_fold: bool = True) -> tuple[float, float, int, dict]:
     env = dict(os.environ, SPARK_DRIVER_MEM=os.environ.get("SPARK_DRIVER_MEM", "48g"))
     code = _CHILD.format(repo=REPO, cores=cores, shm=SHM, wal=WAL_CACHE,
-                         warm_wal=WARM_WAL, cap=N_EVENTS // 8,
+                         warm_wal=WARM_WAL, cap=min(N_EVENTS // 8, 2_000_000),
                          do_fold=int(do_fold),
                          conc=int(os.environ.get("BENCH_CONC", "4")),
                          fold_conc=int(os.environ.get("BENCH_FOLD_CONC", "4")))
@@ -586,19 +605,22 @@ def main() -> None:
             n_events[cores] = n
             time.sleep(int(os.environ.get("BENCH_COOLDOWN_S", "15")))
         if small in rep_dt and CPUS in rep_dt:
-            # pure-CPU ceiling for the SAME core pair in the SAME window
-            # (adjacent to the engine children): the bound this box can show
-            cw_large, cs_large = ceiling_level(CPUS)
-            cw_small, cs_small = ceiling_level(small)
+            # sustained pure-CPU ceiling for the SAME core pair in the SAME
+            # window (adjacent to the engine children): the bound this box
+            # can show. Large level first — it is the one the host throttles,
+            # so sample it closest to the engine children.
+            cu_large, cs_large = ceiling_level(CPUS)
+            cu_small, cs_small = ceiling_level(small)
             pairs.append({
                 "eff": (rep_dt[small] / rep_dt[CPUS]) / (CPUS / small),
                 "noise_small": loads[small][-1], "noise_large": loads[CPUS][-1],
                 "ceiling": {
-                    "wall_small_s": round(cw_small, 2),
-                    "wall_large_s": round(cw_large, 2),
+                    "units_per_s_small": round(cu_small, 0),
+                    "units_per_s_large": round(cu_large, 0),
+                    "sustain_s": CEIL_S,
                     "steal_per_s_small": round(cs_small, 1),
                     "steal_per_s_large": round(cs_large, 1),
-                    "eff": round((cw_small / cw_large) / (CPUS / small), 3),
+                    "eff": round((cu_large / cu_small) / (CPUS / small), 3),
                 },
             })
 
@@ -649,11 +671,20 @@ def main() -> None:
         best_bw = max(nz["probe_bw_gbs"] for nz in allnoise + [fnz_s, fnz_l])
         for nz in (fnz_s, fnz_l):
             nz["contaminated"] = contaminated(nz, best_st, best_bw)
+        # sustained pure-CPU ceiling for the fallback pair too: the (4,16)
+        # pair fits in the co-tenant's leftover capacity, and its ceiling
+        # shows how much of even THAT capacity the host actually grants
+        fcu_l, _ = ceiling_level(fb_large)
+        fcu_s, _ = ceiling_level(fb_small)
+        fb_ceil = (fcu_l / fcu_s) / (fb_large / fb_small)
+        fb_eff = (fdt_s / fdt_l) / (fb_large / fb_small)
         fallback = {
             "cores": [fb_small, fb_large],
-            "eff": round((fdt_s / fdt_l) / (fb_large / fb_small), 3),
+            "eff": round(fb_eff, 3),
             "clean": not (fnz_s["contaminated"] or fnz_l["contaminated"]),
             "times": [round(fdt_s, 2), round(fdt_l, 2)],
+            "ceiling_eff": round(fb_ceil, 3),
+            "engine_over_ceiling": round(fb_eff / fb_ceil, 3) if fb_ceil else None,
         }
         loads[fb_small] = [fnz_s]
         loads[fb_large] = [fnz_l]

@@ -82,22 +82,33 @@ def _ship_package(spark: SparkSession) -> None:
     the worker processes still need the zip when the driver script runs from
     outside the repo. Zipped once per process, then ``addPyFile``.
     """
-    import zipfile
-
     sc = spark.sparkContext
     if getattr(sc, "_datax_pkg_shipped", False):
         return
-    pkg_dir = os.path.dirname(os.path.abspath(__file__))
-    root = os.path.dirname(pkg_dir)
     zpath = os.path.join(
         os.environ.get("TMPDIR", "/tmp"), f"datax_3_0_0_src_spark_{os.getpid()}.zip"
     )
     if not os.path.exists(zpath):
-        with zipfile.ZipFile(zpath, "w") as z:
-            for dirpath, _dirs, files in os.walk(pkg_dir):
-                for fn in files:
-                    if fn.endswith(".py"):
-                        full = os.path.join(dirpath, fn)
-                        z.write(full, os.path.relpath(full, root))
+        build_pyfiles_zip(zpath)
     sc.addPyFile(zpath)
     sc._datax_pkg_shipped = True
+
+
+def build_pyfiles_zip(dest: str) -> str:
+    """Zip this package for ``spark-submit --py-files`` / ``addPyFile``.
+
+    The one artifact a cluster submission needs: every ``.py`` under the
+    package, rooted so ``import datax_3_0_0_src_spark`` resolves from the
+    zip on driver and executors alike. Returns ``dest``.
+    """
+    import zipfile
+
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    root = os.path.dirname(pkg_dir)
+    with zipfile.ZipFile(dest, "w") as z:
+        for dirpath, _dirs, files in os.walk(pkg_dir):
+            for fn in sorted(files):
+                if fn.endswith(".py"):
+                    full = os.path.join(dirpath, fn)
+                    z.write(full, os.path.relpath(full, root))
+    return dest
