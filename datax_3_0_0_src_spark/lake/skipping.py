@@ -254,8 +254,15 @@ def build_blooms(
     kbits = max(1, int(round(bits_per_key * 0.6931)))  # k = m/n * ln2
 
     def fold(pdf: pd.DataFrame) -> pd.DataFrame:
-        hs = pdf["h"].dropna()  # xxhash64(null key) is null — never indexed
-        h = np.unique(hs.to_numpy(dtype=np.int64).view(np.uint64))
+        # Invariant: h must arrive as exact int64. If h were ever made
+        # nullable (e.g. a future guard that nulls bad keys), one NaN in a
+        # batch would demote the whole column to float64 and corrupt every
+        # |hash| >= 2^53 — the bloom would then disagree with lookup()'s
+        # exact int64 probe => FALSE NEGATIVES (silently missing rows).
+        # Guard rather than convert: precision is already gone by here.
+        if not pd.api.types.is_integer_dtype(pdf["h"].dtype):  # pragma: no cover
+            raise TypeError(f"bloom fold needs exact int64 hashes, got {pdf['h'].dtype}")
+        h = np.unique(pdf["h"].to_numpy(dtype=np.int64).view(np.uint64))
         n = max(len(h), 1)
         nbits = 1 << max(6, int(np.ceil(np.log2(n * bits_per_key))))
         bitmap = np.zeros(nbits // 8, dtype=np.uint8)
@@ -269,6 +276,10 @@ def build_blooms(
     rows = (
         spark.read.parquet(*paths)
         .select(
+            # xxhash64 is non-nullable by construction (a null key hashes to
+            # the seed, 42 — verified), so the Arrow transfer lands in pandas
+            # as exact int64; null-key rows are indexed under 42, consistent
+            # with merge's bucketing, and lookup() drops None probes anyway
             F.xxhash64(F.col(key)).alias("h"),
             F.col("_metadata.file_path").alias("fp"),
         )
