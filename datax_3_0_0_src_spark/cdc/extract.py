@@ -27,9 +27,39 @@ _BODY_RE = r"<body[^>]*>(.*?)</body>"
 _TAG_RE = r"<[^>]+>"
 _WS_RE = r"\s+"
 
+# Guarded RE2 fast path (round-7 optimization, guide §4.2): the reference
+# extraction is 6 pandas .str regex passes = ~13 us/row of per-row Python
+# `re` — the single largest CPU sink of the whole CDC replay (2M-row batch =
+# 26.6 core-s). For rows that provably cannot exercise any of the general
+# rules' edge cases, a single anchored RE2 extract plus trims computes the
+# byte-identical answer in ~2.5 us/row. A row takes the fast path ONLY when
+# ALL of these hold (each implies the corresponding slow-path op is the
+# identity or is reproduced exactly):
+#   * the whole string is ASCII            => Python's unicode \s == RE2's \s,
+#     and str.strip() trims the same chars as ascii_trim_whitespace;
+#   * it matches the anchored structural pattern below, whose captures are
+#     runs of non-'<' non-whitespace tokens separated by SINGLE spaces =>
+#     the captures are exactly what re.search finds for _TITLE_RE/_BODY_RE
+#     (the first "<title"/"<body" are the structural tags, the captures
+#     contain no '<' so the first closing tag ends each lazy match and
+#     _TAG_RE has nothing to replace), no whitespace other than single
+#     interior spaces exists anywhere (the tags are literals), so the \s+
+#     collapse and the strips are the identity, and '.' never has to cross
+#     a newline, so the lazy matches are exact.
+# Everything else — including null html, invalid UTF-8, truncated or foreign
+# documents — falls back to the original pandas implementation, unchanged.
+# Byte-identity is pinned by tests/test_cdc_gen_extract.py and the replay
+# e2e suite, plus a 2M-row generator-space differential check (round 7).
+_FAST_WS = r" \t\n\x0b\x0c\r"
+_FAST_CONTENT = rf"(?:[^<{_FAST_WS}]+(?: [^<{_FAST_WS}]+)*)?"
+_FAST_STRUCT_RE = (
+    rf"^<html><head><title>(?P<t>{_FAST_CONTENT})</title></head>"
+    rf"<body>(?P<b>{_FAST_CONTENT})</body></html>$"
+)
 
-def extract_text_pd(html: pd.Series) -> pd.Series:
-    """Vectorized extraction over a pandas Series of html bytes (or None)."""
+
+def _extract_text_pd_slow(html: pd.Series) -> pd.Series:
+    """The reference implementation — general, per-row Python `re`."""
     s = html.map(lambda b: b.decode("utf-8", errors="replace") if b is not None else None)
     s = pd.Series(s, dtype="object")
     title = s.str.extract(_TITLE_RE, expand=False).fillna("")
@@ -46,6 +76,43 @@ def extract_text_pd(html: pd.Series) -> pd.Series:
     )
     out = (title + "\n" + body).str.strip()
     out[s.isna()] = None
+    return out
+
+
+def extract_text_pd(html: pd.Series) -> pd.Series:
+    """Vectorized extraction over a pandas Series of html bytes (or None).
+
+    Semantics are exactly ``_extract_text_pd_slow``'s; conforming rows are
+    computed by the guarded Arrow/RE2 fast path (see _FAST_STRUCT_RE above),
+    the rest by the reference implementation."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    if len(html) == 0:
+        return _extract_text_pd_slow(html)
+    try:
+        arr = pa.Array.from_pandas(html, type=pa.binary())
+        s = arr.cast(pa.string())  # raises on invalid UTF-8 -> full fallback
+    except (pa.ArrowInvalid, pa.ArrowTypeError, pa.ArrowNotImplementedError):
+        return _extract_text_pd_slow(html)
+    st = pc.extract_regex(s, pattern=_FAST_STRUCT_RE)
+    ok = pc.and_kleene(pc.is_valid(st), pc.string_is_ascii(s))
+    ok_np = pc.fill_null(ok, False).to_numpy(zero_copy_only=False)
+    null_np = pc.is_null(arr).to_numpy(zero_copy_only=False)
+    title = pc.fill_null(pc.struct_field(st, 0), "")
+    body = pc.fill_null(pc.struct_field(st, 1), "")
+    # captures cannot carry leading/trailing whitespace (pattern), so the
+    # only strip with any effect is the final one around the "\n" join when
+    # either side is empty — ascii trim == str.strip() on ASCII-only input
+    joined = pc.ascii_trim_whitespace(
+        pc.binary_join_element_wise(title, body, "\n"))
+    out = pd.Series(joined.to_pandas(), dtype="object")
+    out.index = html.index
+    out[null_np] = None
+    slow_np = ~(ok_np | null_np)
+    if slow_np.any():
+        out[slow_np] = _extract_text_pd_slow(html[slow_np])
     return out
 
 

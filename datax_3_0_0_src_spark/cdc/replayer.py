@@ -699,6 +699,21 @@ class Replayer:
             F.col(cfg.key).isNull(), F.lit(-1)
         ).otherwise(F.pmod(F.xxhash64(F.col(cfg.key)), F.lit(nb)).cast("int"))
         ev = ev.withColumn(SYS_BUCKET, bucket)
+        pre_part = not cfg.dedup_per_batch
+        if pre_part:
+            # Place the batch's ONE wide-row exchange BEFORE the Arrow
+            # extraction stage (guide §2.3/§2.5, round-7): the WAL's
+            # offset-contiguous segments give a 2M-event slice only ~4
+            # populated row groups, so an extract riding the scan runs on
+            # ~4 cores no matter how wide the machine is (the measured
+            # cpu_frac 0.63 at 32 cores vs 0.92 at 8). Shuffling first on
+            # the merge's own (bucket, salt) layout (i) spreads the Python
+            # stage across the full shuffle-read width, (ii) ships html
+            # only — the extracted text (~40% of the wide bytes) never
+            # crosses an exchange — and (iii) lets the merge skip its own
+            # repartition (pre_partitioned=True): still exactly one
+            # exchange per batch, now on the cheap side of the UDF.
+            ev = self.table._layout(ev, cfg.key, nb)
 
         slice_dir = os.path.join(cfg.quarantine_dir, f"slice={epoch}-{sub}")
         # idempotent re-run: a prior partial attempt may have left task files
@@ -735,6 +750,7 @@ class Replayer:
             op_col=cfg.op_col,
             mode="mor",
             pre_commit=gate,
+            pre_partitioned=pre_part,
             properties={
                 "last_batch_id": batch_id,
                 "last_epoch": epoch,

@@ -36,9 +36,12 @@ into many parquet files by Spark's maxRecordsPerFile/partition count).
 from __future__ import annotations
 
 import os
+import re
 import shutil
 import uuid
 from dataclasses import dataclass
+
+import pandas as pd  # module-level: pandas_udf type hints must resolve here
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.types import (
@@ -67,53 +70,68 @@ def _lww_winner_pick(paths: list, key: str, ts_col: str):
     rows in the virtual concatenation of all files in ``paths`` order;
     ``file_all``/``row_all`` map every concat index to (file ordinal,
     within-file row position); ``schemas`` is each file's arrow schema.
+
+    Round-7: the key/ts columns stay in Arrow end to end — the previous
+    pandas path materialised every key as a Python str object and hashed
+    them with pd.factorize, which at 2M-row buckets was the DV fold's
+    superlinear hotspot (round-6 verdict item 3). ``dictionary_encode`` on
+    the raw Arrow string buffer produces the same grouping (code VALUES
+    differ, but the winner per group — and hence widx as a SET — is
+    identical; both downstream consumers are order-insensitive: _fold_dv
+    takes the complement, _compact_local re-sorts by (file, row)).
     """
     import numpy as np
     import pandas as pd
+    import pyarrow as pa
     import pyarrow.parquet as pq
 
+    # null ts pinned to the same floor the pandas path used (Timestamp.min),
+    # so a null can never beat a real timestamp and ties behave identically
+    ns_floor = pd.Timestamp.min.value
+    unit_scale = {"s": 1_000_000_000, "ms": 1_000_000, "us": 1_000, "ns": 1}
     schemas = []
-    k_parts, ts_parts, off_parts, file_parts = [], [], [], []
+    k_chunks, ts_parts, off_parts, file_parts = [], [], [], []
     for i, p in enumerate(paths):
         pf = pq.ParquetFile(p)
         schemas.append(pf.schema_arrow)
         want = [c for c in (key, ts_col, SYS_OFFSET)
                 if c in pf.schema_arrow.names]
         nt = pq.read_table(p, columns=want, use_threads=False)
-        # offsets stay int64 END TO END: arrow-side fill_null(-1) before any
-        # pandas conversion — to_pandas() of a nullable int64 column yields
-        # float64, and offsets >= 2^53 would lose precision there, letting an
-        # equal-ts tiebreak pick a different winner than _resolve_lww's exact
-        # long comparison (round-6 advice #3)
+        # offsets stay int64 END TO END: fill_null(-1) before any numpy
+        # conversion — a nullable int64 would otherwise become float64 and
+        # offsets >= 2^53 would lose precision there, letting an equal-ts
+        # tiebreak pick a different winner than _resolve_lww's exact long
+        # comparison (round-6 advice #3)
         if SYS_OFFSET in nt.column_names:
             off_np = (nt.column(SYS_OFFSET).cast("int64").fill_null(-1)
                       .combine_chunks().to_numpy(zero_copy_only=False))
         else:
             off_np = np.full(len(nt), -1, dtype=np.int64)
-        # normalise ts repr per file BEFORE concat: a bucket mixing legacy
-        # INT96 files (naive ns; values are UTC instants) with engine-written
-        # us/UTC files would otherwise concat to object dtype and the winner
-        # sort would raise on naive-vs-aware comparison
-        ts_s = nt.column(ts_col).to_pandas()
-        if getattr(ts_s.dtype, "tz", None) is not None:
-            ts_s = ts_s.dt.tz_convert("UTC").dt.tz_localize(None)
-        k_parts.append(nt.column(key).to_pandas())
-        # NaT sorts LAST in pandas; pin null ts to the floor so it can
-        # never beat a real timestamp
-        ts_parts.append(
-            ts_s.fillna(pd.Timestamp.min)
-            .to_numpy("datetime64[ns]").view("int64"))
+        # ts -> int64 ns per file BEFORE concat (a bucket can mix legacy
+        # INT96 files — arrow-surfaced as naive ns, values UTC instants —
+        # with engine-written us/UTC files); casting tz-aware to int64
+        # yields the same UTC-instant epoch the old tz_convert path did
+        ts_arr = nt.column(ts_col).combine_chunks()
+        scale = unit_scale.get(getattr(ts_arr.type, "unit", "ns"), 1)
+        ts_np = (ts_arr.cast(pa.int64()).fill_null(0)
+                 .to_numpy(zero_copy_only=False)) * np.int64(scale)
+        if ts_arr.null_count:
+            null_np = ts_arr.is_null().to_numpy(zero_copy_only=False)
+            ts_np[null_np] = ns_floor
+        k_chunks.append(nt.column(key))
+        ts_parts.append(ts_np)
         off_parts.append(off_np)
         file_parts.append(np.full(len(nt), i, dtype=np.int32))
-    codes, _ = pd.factorize(
-        pd.concat(k_parts, ignore_index=True), sort=False)
+    k_all = pa.chunked_array(k_chunks).combine_chunks()
+    codes = (k_all.dictionary_encode().indices.fill_null(-1)
+             .to_numpy(zero_copy_only=False))
     ts_all = np.concatenate(ts_parts)
     off_all = np.concatenate(off_parts)
     file_all = np.concatenate(file_parts)
     sizes = [len(a) for a in file_parts]
     row_all = np.concatenate(
         [np.arange(n, dtype=np.int64) for n in sizes])
-    del k_parts, ts_parts, off_parts, file_parts
+    del k_chunks, k_all, ts_parts, off_parts, file_parts
     # lexsort is stable, keys ascending, last key primary:
     # order by (code, ts, off, concat-position)
     order = np.lexsort((off_all, ts_all, codes))
@@ -124,6 +142,51 @@ def _lww_winner_pick(paths: list, key: str, ts_col: str):
         is_last[-1] = True
     widx = order[is_last]
     return widx, file_all, row_all, schemas
+
+
+# Python-worker-lifetime cache of loaded delete vectors, keyed by a bucket's
+# DV sidecar path tuple: {file_rel: sorted int64 positions}. Lives at module
+# level so reused workers keep it across tasks (guide §4.5); DV sidecar paths
+# are content-unique (uuid-suffixed dirs), so stale entries can never alias a
+# new fold's vectors — at most they linger until the worker dies.
+_DV_POS_CACHE: dict[tuple, dict] = {}
+
+
+def _dv_positions_cached(dv_paths: tuple) -> dict:
+    """{table-relative data file -> sorted np.int64 positions} for one
+    bucket's delete-vector sidecars (executor-side, cached per worker)."""
+    out = _DV_POS_CACHE.get(dv_paths)
+    if out is None:
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        out = {}
+        for p in dv_paths:
+            t = pq.read_table(p, use_threads=False)
+            fcol = t.column("file").combine_chunks()
+            if pa.types.is_dictionary(fcol.type):
+                idx = fcol.indices.to_numpy(zero_copy_only=False)
+                names = fcol.dictionary.to_pylist()
+            else:
+                idx, uniques = __import__("pandas").factorize(
+                    fcol.to_pandas())
+                names = list(uniques)
+            pos = t.column("pos").to_numpy(zero_copy_only=False)
+            order = np.argsort(idx, kind="stable")
+            fs, ps = idx[order], pos[order]
+            bounds = np.flatnonzero(np.diff(fs)) + 1
+            for code, chunk in zip(
+                fs[np.concatenate(([0], bounds))] if len(fs) else [],
+                np.split(ps, bounds),
+            ):
+                f = names[int(code)]
+                prev = out.get(f)
+                chunk = np.sort(chunk)
+                out[f] = chunk if prev is None else np.sort(
+                    np.concatenate([prev, chunk]))
+        _DV_POS_CACHE[dv_paths] = out
+    return out
 
 
 def _merged_props(base: dict, updates: dict | None) -> dict:
@@ -252,22 +315,62 @@ class LakeTable:
     def _apply_dvs(self, scan: DataFrame, dv_files: list[str]) -> DataFrame:
         """Drop the rows a delete-vector fold marked as LWW losers.
 
-        Two broadcast-hash steps, ZERO shuffles of the wide side: the scan
-        keeps its file-source partitioning and each task hash-probes the
-        broadcast loser set on (file-hash, position). File identity travels
-        as xxhash64 of the table-relative path, so the broadcast build side
-        is 16 bytes per loser — no repeated path strings. Positions come
-        from the parquet reader's ``_metadata.row_index`` (within-file row
-        ordinal), matching the DV fold's within-file positions exactly.
+        FILE-LOCAL positional masking (round-7, round-6 verdict item 2): the
+        scan keeps its file-source partitioning and every row is tested
+        against ITS OWN file's delete vector — a sorted-positions
+        searchsorted inside a vectorized boolean UDF. Each Python worker
+        lazily loads a bucket's DV sidecar once (module-level cache, workers
+        are reused) and groups it into {file: sorted positions}; a task only
+        ever loads the vectors of buckets it actually scans.
+
+        The previous implementation broadcast the ENTIRE loser set to every
+        task: at 64M events that is ~18M (file, pos) rows — a serial driver
+        collect plus a multi-hundred-MB hash relation rebuilt per query —
+        and the full-table read probe ANTI-scaled 8->32 cores (32.4 -> 36.6s,
+        BENCH_r06 read_probe_s). Per-file masks are how Iceberg applies
+        positional deletes; cost now scales with cores and with the bytes
+        actually scanned. Positions come from the parquet reader's
+        ``_metadata.row_index`` (within-file row ordinal), matching the DV
+        fold's within-file positions exactly.
         """
-        paths = [os.path.join(self.path, f) for f in dv_files]
-        dv = (
-            self.spark.read.parquet(*paths)
-            .select(
-                F.xxhash64("file").alias("_dv_fid"),
-                F.col("pos").alias("_dv_pos"),
-            )
-        )
+        from pyspark.sql.functions import pandas_udf
+
+        # {bucket: (dv sidecar paths...)} — the per-bucket sidecar path is
+        # tiny driver-side metadata; the POSITIONS are only ever read
+        # executor-side (round-6 verdict item 2's driver-memory complaint)
+        dv_by_bucket: dict[int, tuple] = {}
+        for f in dv_files:
+            b = int(re.search(rf"{SYS_BUCKET}=(-?\d+)/", f).group(1))
+            dv_by_bucket[b] = dv_by_bucket.get(b, ()) + (
+                os.path.join(self.path, f),)
+
+        @pandas_udf("boolean")
+        def _dv_keep(rel_path: pd.Series, pos: pd.Series) -> pd.Series:
+            import numpy as np
+
+            # worker-lifetime cache: importable-module global (survives task
+            # boundaries under spark.python.worker.reuse; guide §4.5)
+            from datax_3_0_0_src_spark.lake import table as _tbl
+
+            keep = np.ones(len(rel_path), dtype=bool)
+            pos_np = pos.to_numpy()
+            codes, files = pd.factorize(rel_path)  # ~1 unique per arrow batch
+            for i, f in enumerate(files):
+                m = re.search(rf"{SYS_BUCKET}=(-?\d+)/", f)
+                dv_paths = dv_by_bucket.get(int(m.group(1))) if m else None
+                if not dv_paths:
+                    continue
+                posmap = _tbl._dv_positions_cached(dv_paths)
+                dv_pos = posmap.get(f)
+                if dv_pos is None:
+                    continue
+                rows = codes == i
+                p = pos_np[rows]
+                idx = np.searchsorted(dv_pos, p)
+                idx_c = np.minimum(idx, len(dv_pos) - 1)
+                keep[rows] = ~((idx < len(dv_pos)) & (dv_pos[idx_c] == p))
+            return pd.Series(keep)
+
         # table-relative path of each scanned row's file: everything after
         # the LAST "/data/" (data-dir names are hex-suffixed m/c/v/dv dirs —
         # they never contain "/data/", so the last occurrence is always the
@@ -276,11 +379,7 @@ class LakeTable:
             F.lit("data/"),
             F.substring_index(F.col("_metadata.file_path"), "/data/", -1),
         )
-        scan = scan.withColumn("_dv_fid", F.xxhash64(rel)).withColumn(
-            "_dv_pos", F.col("_metadata.row_index"))
-        return scan.join(
-            F.broadcast(dv), on=["_dv_fid", "_dv_pos"], how="left_anti"
-        ).drop("_dv_fid", "_dv_pos")
+        return scan.filter(_dv_keep(rel, F.col("_metadata.row_index")))
 
     def _resolve_lww(self, df: DataFrame, key: str, ts_col: str) -> DataFrame:
         """Fold base+delta rows down to one LWW winner per key.
@@ -410,9 +509,12 @@ class LakeTable:
         self.last_prune = {"candidate_files": cand, "bloom_skipped": skipped,
                            "scanned_files": len(files) + len(dfiles)}
         df = self._read_files(files + dfiles, phys)
+        # exact IN filter FIRST (pushed into the parquet scan), THEN the DV
+        # positional mask — the two row-level predicates commute, and a
+        # python-UDF filter above the scan would otherwise block pushdown
+        df = df.filter(F.col(key).isin(keys))
         if vfiles:
             df = self._apply_dvs(df, vfiles)
-        df = df.filter(F.col(key).isin(keys))
         if dfiles:
             df = self._resolve_lww(df, key, ts_col)
         if not include_deleted:
@@ -484,10 +586,12 @@ class LakeTable:
         if hi is not None:
             in_range = in_range & (F.col(ts_col) <= F.lit(hi))
 
-        out = self._read_files(pruned_files, phys)
+        # folded buckets: ts predicate FIRST (pushed into the parquet scan —
+        # a python-UDF filter above it would block pushdown), then the DV
+        # positional mask; the row-level predicates commute
+        out = self._read_files(pruned_files, phys).filter(in_range)
         if pruned_dvs:
             out = self._apply_dvs(out, pruned_dvs)
-        out = out.filter(in_range)
         if full_files:
             fdf = self._read_files(full_files, phys)
             if full_dvs:
@@ -606,6 +710,7 @@ class LakeTable:
         plan_rows_per_bucket: dict[int, int] | None = None,
         mode: str | None = None,
         pre_commit=None,
+        pre_partitioned: bool = False,
     ) -> MergeStats:
         """MERGE INTO: last-writer-wins upsert/delete by key.
 
@@ -640,6 +745,15 @@ class LakeTable:
         unreferenced orphans (reclaimed by ``expire_snapshots``). This is the
         hook for post-scan validation gates (e.g. the CDC error-record limit,
         whose counts only exist once the single-pass job has run).
+
+        ``pre_partitioned`` (MOR only): the caller guarantees ``batch`` is
+        already hash-partitioned by ``(bucket, salt)`` with the layout
+        :meth:`_layout` would produce, so the merge skips its own exchange.
+        The CDC replayer uses this to place the batch's ONE wide-row shuffle
+        *before* the Arrow extraction stage (guide §2.3/§2.5: the exchange
+        then carries html only — no extracted text — and the Python stage
+        runs in the shuffle-read stage at full core width instead of being
+        capped by the WAL's row-group count).
         """
         snap = self.snapshot()
         mode = mode or snap.properties.get("merge_mode", "cow")
@@ -689,7 +803,8 @@ class LakeTable:
         # rows, which thrashes at high core counts — see cdc/replayer.py)
         s = s.withColumn(SYS_BUCKET, self._bucket_expr(key))
         if mode == "mor":
-            return self._merge_mor(snap, s, key, user_schema, properties, pre_commit)
+            return self._merge_mor(snap, s, key, user_schema, properties,
+                                   pre_commit, pre_partitioned)
         if plan_rows_per_bucket is not None:
             per_bucket = {int(b): int(n) for b, n in plan_rows_per_bucket.items() if n}
             bad = [b for b in per_bucket if not 0 <= b < nb]
@@ -831,6 +946,21 @@ class LakeTable:
                 out[int(d.split("=", 1)[1])] = fs
         return out
 
+    def _layout(self, s: DataFrame, key: str, nb: int) -> DataFrame:
+        """The controlled-file-layout exchange: hash-partition on
+        ``(bucket, salt)`` so the partitioned write makes ~write_salt files
+        per touched bucket (without it every upstream task spills a file
+        into every bucket dir it saw). Factored out so the CDC replayer can
+        apply the SAME layout *before* its Arrow extraction stage and tell
+        merge() to skip this exchange (``pre_partitioned=True``)."""
+        par = self.spark.sparkContext.defaultParallelism
+        write_salt = max(1, par // nb)
+        return s.repartition(
+            max(nb * write_salt, 1),
+            F.col(SYS_BUCKET),
+            F.pmod(F.xxhash64(F.col(key)), F.lit(write_salt)),
+        )
+
     def _merge_mor(
         self,
         snap: Snapshot,
@@ -839,6 +969,7 @@ class LakeTable:
         user_schema: StructType,
         properties: dict | None,
         pre_commit=None,
+        pre_partitioned: bool = False,
     ) -> MergeStats:
         """Merge-on-read apply: write the (pre-deduped) batch as per-bucket
         delta files and commit. No table reads, no join — per-batch cost is
@@ -861,15 +992,10 @@ class LakeTable:
         laps: dict[str, float] = {}
         _t = _time.monotonic()
 
-        # controlled layout: ~write_salt files per touched bucket (without the
-        # repartition every upstream task spills a file into every bucket dir)
-        par = self.spark.sparkContext.defaultParallelism
-        write_salt = max(1, par // nb)
-        s = s.repartition(
-            max(nb * write_salt, 1),
-            F.col(SYS_BUCKET),
-            F.pmod(F.xxhash64(F.col(key)), F.lit(write_salt)),
-        )
+        # controlled layout: ~write_salt files per touched bucket — unless the
+        # caller already holds this exact partitioning (see _layout)
+        if not pre_partitioned:
+            s = self._layout(s, key, nb)
         s.write.option("compression", self.compression).mode("errorifexists").partitionBy(SYS_BUCKET).parquet(out_dir)
         laps["write_job"] = _time.monotonic() - _t
         _t = _time.monotonic()
@@ -1368,9 +1494,13 @@ class LakeTable:
                         d = os.path.join(out_root, f"{SYS_BUCKET}={b}")
                         os.makedirs(d, exist_ok=True)
                         name = "dv-00000.parquet"
+                        # dictionary-encoded file column: per-loser cost is
+                        # one int32 index, not a repeated path string (the
+                        # loser set is ~30% of rows at 64M — round 7)
                         tbl = pa.table({
-                            "file": pa.array(
-                                np.array(rels, dtype=object)[file_all[lose]]),
+                            "file": pa.DictionaryArray.from_arrays(
+                                pa.array(file_all[lose], type=pa.int32()),
+                                pa.array(rels, type=pa.string())),
                             "pos": pa.array(row_all[lose], type=pa.int64()),
                         })
                         pq.write_table(
