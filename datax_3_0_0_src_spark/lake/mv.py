@@ -67,6 +67,7 @@ def refresh_group_agg(
     *,
     group_cols: list[str],
     measure: str | None = None,
+    materialize: bool = False,
 ) -> DataFrame:
     """Advance ``mv`` (the grouped aggregate of ``table`` as of
     ``since_version``) to ``until_version`` using only the change feed and
@@ -74,11 +75,24 @@ def refresh_group_agg(
     of an empty key set (bootstrapping from since_version=0 of a table whose
     v0 is empty == full compute). Group/measure columns introduced by
     additive evolution inside the range are null-backfilled when scanning
-    the pre-evolution snapshot (the table read's own semantics)."""
+    the pre-evolution snapshot (the table read's own semantics).
+
+    ``materialize=True`` cuts the returned MV's lineage (localCheckpoint —
+    round-6 verdict item 5): each refresh otherwise BUILDS ON the previous
+    ``mv`` DataFrame, so a chained consumer grows an N-hop unmaterialized
+    plan, the same iterative-plan-growth problem connected_components
+    solves with per-round checkpoints. With it on, a refresh chain of any
+    length keeps a constant-size plan (the previous MV is an in-memory
+    scan; tests pin <= 4 file scans at hop 100). A production consumer
+    that must survive executor loss should instead persist the MV to its
+    own table between hops — the refresh math is identical."""
     until = table.snapshot().version if until_version is None else until_version
     key = table.snapshot().properties["key"]
     mcols = [f"sum_{measure}"] if measure else []
     out_cols = [*group_cols, "n_rows", *mcols]
+    def _finish(df: DataFrame) -> DataFrame:
+        return df.localCheckpoint() if materialize else df
+
     def base_mv() -> DataFrame:
         if mv is not None:
             return mv.select(*out_cols)
@@ -86,14 +100,14 @@ def refresh_group_agg(
                               version=until).limit(0)
 
     if until <= since_version:
-        return base_mv()
+        return _finish(base_mv())
 
     keys = table.changes(since_version, until).select(key).distinct()
     bucket_rows = keys.select(
         table._bucket_expr(key).alias("b")).distinct().collect()
     buckets = sorted(int(r["b"]) for r in bucket_rows)
     if not buckets:
-        return base_mv()
+        return _finish(base_mv())
 
     # columns the aggregate needs, typed from the UNTIL snapshot: a group or
     # measure column introduced by additive evolution inside the range is
@@ -138,4 +152,4 @@ def refresh_group_agg(
                     + F.coalesce(d[f"_d_{c}"], F.lit(0.0))).alias(c))
     # groups whose rows all left drop out entirely (count keeps the MV's
     # support set exact; a sum-only residual of 0.0 would be a phantom group)
-    return merged.select(*sel).filter(F.col("n_rows") > 0)
+    return _finish(merged.select(*sel).filter(F.col("n_rows") > 0))

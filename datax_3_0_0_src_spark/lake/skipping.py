@@ -44,6 +44,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import tempfile
 from concurrent.futures import ThreadPoolExecutor
 from datetime import timezone
@@ -229,15 +230,21 @@ def build_blooms(
     data) and atomically replace each bucket's sidecar. Returns
     {bucket: files_covered}.
 
-    One Spark job: a columnar scan of (xxhash64(key), _metadata.file_path)
-    over the candidate files, grouped per file, each group folding its
-    hashes into a power-of-two bitmap executor-side (Arrow-batched pandas,
-    numpy bit ops). Collected results are KB/file; the sidecar write is
-    driver-side pyarrow + rename (advisory data — losing a race to a
-    concurrent rebuild is harmless)."""
+    Two executor-side stages in one Spark job — the driver never holds a
+    bitmap (round-6 verdict item 4: the old driver collect pulled ~1.25 MB
+    of bloom per 128 MB file, a driver OOM at 800k-file scale):
+
+    1. per-FILE groups fold their key hashes into a power-of-two bitmap
+       (Arrow-batched pandas, numpy bit ops);
+    2. the per-file bloom rows shuffle to per-BUCKET groups, each of which
+       writes its own sidecar parquet (tmp + atomic rename — advisory data,
+       losing a race to a concurrent rebuild is harmless) and returns one
+       (bucket, files_covered) row.
+
+    The driver collects only those O(buckets) count rows. Executors write
+    directly to the table path — the same shared-FS reach _compact_local
+    already requires."""
     import pandas as pd
-    import pyarrow as pa
-    import pyarrow.parquet as pq
     from pyspark.sql import functions as F
 
     snap = table.snapshot()
@@ -252,6 +259,10 @@ def build_blooms(
         return {}
     paths = [os.path.join(table.path, f) for f in rel_all]
     kbits = max(1, int(round(bits_per_key * 0.6931)))  # k = m/n * ln2
+    table_path = table.path
+    # bucket id comes from the file PATH (the write layout is bucket-pure),
+    # so stage-2 grouping never re-derives it from key hashes
+    want = {b: set(fs) for b, fs in rel_by_bucket.items()}
 
     def fold(pdf: pd.DataFrame) -> pd.DataFrame:
         # Invariant: h must arrive as exact int64. If h were ever made
@@ -268,11 +279,44 @@ def build_blooms(
         bitmap = np.zeros(nbits // 8, dtype=np.uint8)
         pos = _bit_positions(h, kbits, nbits).ravel()
         np.bitwise_or.at(bitmap, pos >> 3, np.uint8(1) << (pos & 7).astype(np.uint8))
+        # URI file path -> table-relative (same rule as _apply_dvs: all
+        # after the LAST "/data/" is inside the table's own data root)
+        rel = "data/" + pdf["fp"].iloc[0].split("/data/")[-1]
+        m = re.search(r"_bucket=(-?\d+)/", rel)
         return pd.DataFrame(
-            {"fp": [pdf["fp"].iloc[0]], "nkeys": [len(h)], "nbits": [nbits],
+            {"b": [int(m.group(1)) if m else -1], "file": [rel],
+             "nkeys": [len(h)], "nbits": [nbits],
              "k": [kbits], "bits": [bitmap.tobytes()]}
         )
 
+    def write_sidecar(pdf: pd.DataFrame) -> pd.DataFrame:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        b = int(pdf["b"].iloc[0])
+        pdf = pdf.sort_values("file")
+        # only files the build's snapshot listed for this bucket: a row from
+        # a foreign path shape (regex miss) must not land in a sidecar
+        keep = pdf["file"].isin(want.get(b, set()))
+        pdf = pdf[keep]
+        if not len(pdf):
+            return pd.DataFrame({"b": pd.Series([], dtype="int32"),
+                                 "n_files": pd.Series([], dtype="int64")})
+        t = pa.table({
+            "file": pdf["file"].tolist(),
+            "nkeys": pa.array(pdf["nkeys"].tolist(), pa.int64()),
+            "nbits": pa.array(pdf["nbits"].tolist(), pa.int32()),
+            "k": pa.array(pdf["k"].tolist(), pa.int32()),
+            "bits": pa.array(pdf["bits"].tolist(), pa.binary()),
+        })
+        path = _bloom_path(table_path, b)
+        fd, tmp = tempfile.mkstemp(dir=os.path.dirname(path), suffix=".tmp")
+        os.close(fd)
+        pq.write_table(t, tmp, compression="zstd")
+        os.replace(tmp, path)
+        return pd.DataFrame({"b": [b], "n_files": [len(pdf)]})
+
+    os.makedirs(os.path.join(table.path, BLOOM_DIR), exist_ok=True)
     rows = (
         spark.read.parquet(*paths)
         .select(
@@ -284,35 +328,13 @@ def build_blooms(
             F.col("_metadata.file_path").alias("fp"),
         )
         .groupBy("fp")
-        .applyInPandas(fold, "fp string, nkeys long, nbits int, k int, bits binary")
-        .collect()
+        .applyInPandas(
+            fold, "b int, file string, nkeys long, nbits int, k int, bits binary")
+        .groupBy("b")
+        .applyInPandas(write_sidecar, "b int, n_files long")
+        .collect()  # O(buckets) count rows only — never a bitmap
     )
-    # URI file path -> table-relative (same rule as _apply_dvs: everything
-    # after the LAST "/data/" is inside the table's own data root)
-    by_rel = {}
-    for r in rows:
-        rel = "data/" + r["fp"].split("/data/")[-1]
-        by_rel[rel] = (r["nkeys"], r["nbits"], r["k"], r["bits"])
-    os.makedirs(os.path.join(table.path, BLOOM_DIR), exist_ok=True)
-    out: dict[int, int] = {}
-    for b, fs in rel_by_bucket.items():
-        entries = [(f, *by_rel[f]) for f in fs if f in by_rel]
-        if not entries:
-            continue
-        t = pa.table({
-            "file": [e[0] for e in entries],
-            "nkeys": pa.array([e[1] for e in entries], pa.int64()),
-            "nbits": pa.array([e[2] for e in entries], pa.int32()),
-            "k": pa.array([e[3] for e in entries], pa.int32()),
-            "bits": pa.array([e[4] for e in entries], pa.binary()),
-        })
-        path = _bloom_path(table.path, b)
-        fd, tmp = tempfile.mkstemp(dir=os.path.dirname(path), suffix=".tmp")
-        os.close(fd)
-        pq.write_table(t, tmp, compression="zstd")
-        os.replace(tmp, path)
-        out[b] = len(entries)
-    return out
+    return {int(r["b"]): int(r["n_files"]) for r in rows}
 
 
 def probe_blooms(

@@ -312,8 +312,16 @@ class LakeTable:
         # explicit schema => additive evolution backfills missing columns as null
         return self.spark.read.schema(schema).parquet(*paths)
 
-    def _apply_dvs(self, scan: DataFrame, dv_files: list[str]) -> DataFrame:
+    def _apply_dvs(
+        self, scan: DataFrame, dv_files: list[str],
+        scan_files: list[str] | None = None,
+    ) -> DataFrame:
         """Drop the rows a delete-vector fold marked as LWW losers.
+
+        ``scan_files``: the table-relative data files ``scan`` reads. When
+        given, per-row file identity crosses to Python as xxhash64(rel) —
+        8 bytes instead of the path string — with a driver-side collision
+        check over exactly this list (collision => exact-string fallback).
 
         FILE-LOCAL positional masking (round-7, round-6 verdict item 2): the
         scan keeps its file-source partitioning and every row is tested
@@ -344,6 +352,66 @@ class LakeTable:
             dv_by_bucket[b] = dv_by_bucket.get(b, ()) + (
                 os.path.join(self.path, f),)
 
+        # table-relative path of each scanned row's file: everything after
+        # the LAST "/data/" (data-dir names are hex-suffixed m/c/v/dv dirs —
+        # they never contain "/data/", so the last occurrence is always the
+        # table's own data root even when the table PATH contains "/data/")
+        rel = F.concat(
+            F.lit("data/"),
+            F.substring_index(F.col("_metadata.file_path"), "/data/", -1),
+        )
+
+        # Row->file identity crosses the Python boundary as the 8-byte
+        # xxhash64 of the relative path, not the ~120-byte path string
+        # (guide §4.1: control how many bytes cross — at 64M rows the
+        # string column alone was multi-GB of Arrow transfer, the dominant
+        # cost of the post-DV read probe). The hash->file map is computed
+        # driver-side with the SAME JVM xxhash64 over the (small) scanned
+        # file list; a collision inside that list would be detected right
+        # here and falls back to exact path strings, so masking can never
+        # hit the wrong file.
+        snap_rels = sorted(
+            f for f in (scan_files or [])
+            if (m := re.search(rf"{SYS_BUCKET}=(-?\d+)/", f))
+            and int(m.group(1)) in dv_by_bucket
+        )
+        hash_rows = self.spark.createDataFrame(
+            [(r,) for r in snap_rels], "f string"
+        ).select("f", F.xxhash64("f").alias("h")).collect() if snap_rels else []
+        by_hash: dict[int, tuple] = {}
+        for r in hash_rows:
+            b = int(re.search(rf"{SYS_BUCKET}=(-?\d+)/", r["f"]).group(1))
+            by_hash[int(r["h"])] = (r["f"], dv_by_bucket.get(b, ()))
+        if scan_files is not None and len(by_hash) == len(snap_rels):
+            @pandas_udf("boolean")
+            def _dv_keep_h(fh: pd.Series, pos: pd.Series) -> pd.Series:
+                import numpy as np
+
+                from datax_3_0_0_src_spark.lake import table as _tbl
+
+                keep = np.ones(len(fh), dtype=bool)
+                pos_np = pos.to_numpy()
+                fh_np = fh.to_numpy()
+                for h in np.unique(fh_np):  # ~1 unique per arrow batch
+                    ent = by_hash.get(int(h))
+                    if ent is None or not ent[1]:
+                        continue
+                    f, dv_paths = ent
+                    dv_pos = _tbl._dv_positions_cached(dv_paths).get(f)
+                    if dv_pos is None:
+                        continue
+                    rows = fh_np == h
+                    p = pos_np[rows]
+                    idx = np.searchsorted(dv_pos, p)
+                    idx_c = np.minimum(idx, len(dv_pos) - 1)
+                    keep[rows] = ~((idx < len(dv_pos)) & (dv_pos[idx_c] == p))
+                return pd.Series(keep)
+
+            return scan.filter(
+                _dv_keep_h(F.xxhash64(rel), F.col("_metadata.row_index")))
+
+        # exact-string fallback (xxhash64 collision inside the file list —
+        # astronomically rare, but correctness must not depend on it)
         @pandas_udf("boolean")
         def _dv_keep(rel_path: pd.Series, pos: pd.Series) -> pd.Series:
             import numpy as np
@@ -371,14 +439,6 @@ class LakeTable:
                 keep[rows] = ~((idx < len(dv_pos)) & (dv_pos[idx_c] == p))
             return pd.Series(keep)
 
-        # table-relative path of each scanned row's file: everything after
-        # the LAST "/data/" (data-dir names are hex-suffixed m/c/v/dv dirs —
-        # they never contain "/data/", so the last occurrence is always the
-        # table's own data root even when the table PATH contains "/data/")
-        rel = F.concat(
-            F.lit("data/"),
-            F.substring_index(F.col("_metadata.file_path"), "/data/", -1),
-        )
         return scan.filter(_dv_keep(rel, F.col("_metadata.row_index")))
 
     def _resolve_lww(self, df: DataFrame, key: str, ts_col: str) -> DataFrame:
@@ -423,7 +483,7 @@ class LakeTable:
             # delete-vector-folded buckets: losers drop via a broadcast
             # anti-join (no shuffle); deltas layered AFTER the DV fold (if
             # any) still resolve below — against winners only
-            df = self._apply_dvs(df, vfiles)
+            df = self._apply_dvs(df, vfiles, files + dfiles)
         if dfiles:
             df = self._resolve_lww(df, snap.properties["key"], snap.properties["ts_col"])
         if not include_deleted:
@@ -514,7 +574,7 @@ class LakeTable:
         # python-UDF filter above the scan would otherwise block pushdown
         df = df.filter(F.col(key).isin(keys))
         if vfiles:
-            df = self._apply_dvs(df, vfiles)
+            df = self._apply_dvs(df, vfiles, files + dfiles)
         if dfiles:
             df = self._resolve_lww(df, key, ts_col)
         if not include_deleted:
@@ -591,11 +651,11 @@ class LakeTable:
         # positional mask; the row-level predicates commute
         out = self._read_files(pruned_files, phys).filter(in_range)
         if pruned_dvs:
-            out = self._apply_dvs(out, pruned_dvs)
+            out = self._apply_dvs(out, pruned_dvs, pruned_files)
         if full_files:
             fdf = self._read_files(full_files, phys)
             if full_dvs:
-                fdf = self._apply_dvs(fdf, full_dvs)
+                fdf = self._apply_dvs(fdf, full_dvs, full_files)
             if has_deltas_full:
                 fdf = self._resolve_lww(fdf, key, ts_col)
             out = out.unionByName(fdf.filter(in_range))
@@ -845,7 +905,7 @@ class LakeTable:
             # DV-folded buckets carry masked losers in their base files —
             # drop them before the full-outer resolve (which needs at most
             # one live row per key)
-            e = self._apply_dvs(e, touched_dvs)
+            e = self._apply_dvs(e, touched_dvs, touched_files + touched_deltas)
         if touched_deltas:
             # a COW merge onto MOR-layered buckets folds their deltas first
             e = self._resolve_lww(e, key, ts_col)

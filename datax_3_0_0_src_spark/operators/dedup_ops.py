@@ -51,6 +51,27 @@ def doc_shingles(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame
     )
 
 
+def _bounded_shingles(
+    df: DataFrame, id_col: str, text_col: str, n: int,
+    candidates: DataFrame | None,
+) -> DataFrame:
+    """The verify stage's (id, shingle) input BEFORE materialization: when a
+    candidate pair set is given, the shingle table is semi-joined to the
+    candidate ids BELOW everything else — the LSH verify path's cost bound
+    (never the full corpus self-join). Split out so the plan-shape test can
+    assert the LeftSemi sits under the checkpoint that
+    :func:`ngram_jaccard_pairs` then takes of this relation."""
+    sh = doc_shingles(df, id_col, text_col, n)
+    if candidates is not None:
+        cand_ids = (
+            candidates.select(F.col("id_a").alias("_id"))
+            .unionByName(candidates.select(F.col("id_b").alias("_id")))
+            .distinct()
+        )
+        sh = sh.join(F.broadcast(cand_ids), "_id", "left_semi")
+    return sh
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     *,
@@ -72,20 +93,24 @@ def ngram_jaccard_pairs(
     aggregation (semi-join pushdown), so cost is bounded by the candidate set
     — this is the LSH verify path, never the full corpus-squared join.
     """
-    sh = doc_shingles(df, id_col, text_col, n)
-    if candidates is not None:
-        cand_ids = (
-            candidates.select(F.col("id_a").alias("_id"))
-            .unionByName(candidates.select(F.col("id_b").alias("_id")))
-            .distinct()
-        )
-        sh = sh.join(F.broadcast(cand_ids), "_id", "left_semi")
+    sh = _bounded_shingles(df, id_col, text_col, n, candidates)
+    # Materialize the exploded (id, shingle) relation ONCE (guide §2.4/§3.3:
+    # Catalyst re-evaluates a non-deterministic-free subtree per consumer —
+    # the round-7 plan audit counted EIGHT Generate+split evaluations of the
+    # same shingle explode across the hot-filter agg, the size agg and both
+    # self-join sides; the per-doc HOF transform is interpreted, so each
+    # re-evaluation is the dominant CPU). localCheckpoint truncates lineage
+    # and makes every consumer read the materialized rows; at corpus scale
+    # a real pipeline would persist this to the shared store instead — the
+    # blocks here are executor-local MEMORY_AND_DISK.
+    sh = sh.localCheckpoint()
     if max_shingle_df:
         hot = (
             sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df_"))
             .filter(F.col("df_") > max_shingle_df).select("shingle")
         )
-        sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
+        # materialized too: the anti-join output feeds three consumers
+        sh = sh.join(F.broadcast(hot), "shingle", "left_anti").localCheckpoint()
     sizes = sh.groupBy("_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a, b = sh.alias("a"), sh.alias("b")
     common = (
@@ -536,7 +561,7 @@ def crossdoc_dup_spans(
     w = df.select(
         F.col(id_col).alias("_id"),
         F.explode(shingles_expr(text_col, n)).alias("_w"),
-    )
+    ).localCheckpoint()  # two consumers (count agg + join-back): one explode
     counts = w.groupBy("_w").agg(F.count(F.lit(1)).alias("_c"))
     return (
         w.join(counts, "_w")

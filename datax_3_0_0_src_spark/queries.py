@@ -32,6 +32,34 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
+def _t_par(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Fixture read with a scan-width guard (guide §2.5, input skew): the
+    sandbox fixtures are single-file single-row-group parquet, so a bare
+    scan is ONE task and every operator pipelined onto it (explodes,
+    interpreted HOF transforms, regex) runs single-core no matter how wide
+    the machine is — measured 8-10x of some queries' wall. When the input
+    is too small to split (parquet cannot split below a row group), one
+    cheap round-robin repartition of the MB-sized table buys full-width
+    parallelism for the compute above it. Size-gated: inputs big enough to
+    produce >= one split per core keep their natural file splits — this
+    never adds an exchange at production scale, where tables arrive as many
+    files."""
+    df = _t(spark, sf_dir, name)
+    par = spark.sparkContext.defaultParallelism
+    p = os.path.join(sf_dir, f"{name}.parquet")
+    try:
+        size = (
+            sum(os.path.getsize(os.path.join(p, f))
+                for f in os.listdir(p) if f.endswith(".parquet"))
+            if os.path.isdir(p) else os.path.getsize(p)
+        )
+    except OSError:
+        return df
+    if size < par * (4 << 20):
+        return df.repartition(par)
+    return df
+
+
 # =============================================================== CDC family
 def cdc_lww_latest(spark, sf_dir):
     """LWW winner per key over the events stream — the engine's dedup operator
@@ -660,7 +688,7 @@ FROM part WHERE NOT coalesce(p_size < 5, FALSE)
 
 # ============================================================== text analysis
 def doc_token_stats(spark, sf_dir):
-    return textstats.token_stats(_t(spark, sf_dir, "documents"))
+    return textstats.token_stats(_t_par(spark, sf_dir, "documents"))
 
 
 DOC_TOKEN_STATS_SQL = """
@@ -676,7 +704,7 @@ FROM t
 
 def doc_token_bpe(spark, sf_dir):
     """Whitespace + BPE-ish-regex token counts (corpus sizing for LLM data)."""
-    return textstats.bpe_token_count(_t(spark, sf_dir, "documents"))
+    return textstats.bpe_token_count(_t_par(spark, sf_dir, "documents"))
 
 
 DOC_TOKEN_BPE_SQL = f"""
@@ -692,7 +720,7 @@ FROM t
 
 
 def doc_quality(spark, sf_dir):
-    return textstats.quality_score(_t(spark, sf_dir, "documents"))
+    return textstats.quality_score(_t_par(spark, sf_dir, "documents"))
 
 
 _SW = "', '".join(textstats.STOPWORDS)
@@ -712,7 +740,7 @@ FROM r
 
 def doc_repetition(spark, sf_dir):
     """Gopher-style repetition signals (dup/top word-2gram fractions)."""
-    return textstats.repetition_signals(_t(spark, sf_dir, "documents"), n=2)
+    return textstats.repetition_signals(_t_par(spark, sf_dir, "documents"), n=2)
 
 
 DOC_REPETITION_SQL = r"""
@@ -743,7 +771,7 @@ FROM t LEFT JOIN d USING (doc_id) LEFT JOIN top USING (doc_id)
 
 def doc_gopher_filter(spark, sf_dir):
     """Gopher-style keep/drop verdicts composed from the signal operators."""
-    return textstats.gopher_keep_filter(_t(spark, sf_dir, "documents"))
+    return textstats.gopher_keep_filter(_t_par(spark, sf_dir, "documents"))
 
 
 DOC_GOPHER_FILTER_SQL = rf"""
@@ -776,7 +804,7 @@ FROM b JOIN r USING (doc_id)
 def doc_decontaminate(spark, sf_dir):
     """Benchmark decontamination: flag training docs sharing any 8-gram with
     the deterministic eval slice (doc_id % 97 == 0)."""
-    return textstats.decontaminate(_t(spark, sf_dir, "documents"), n=8)
+    return textstats.decontaminate(_t_par(spark, sf_dir, "documents"), n=8)
 
 
 DOC_DECONTAMINATE_SQL = r"""
@@ -797,7 +825,7 @@ LEFT JOIN h USING (doc_id)
 
 def doc_pii_scrub(spark, sf_dir):
     """PII redaction with per-kind counts (emails / IPv4s / phone runs)."""
-    return textstats.pii_scrub(_t(spark, sf_dir, "documents"))
+    return textstats.pii_scrub(_t_par(spark, sf_dir, "documents"))
 
 
 # Same sequential redaction as the Spark op (email -> ipv4 -> phone), each
@@ -826,7 +854,7 @@ FROM s3
 
 
 def doc_lang_id(spark, sf_dir):
-    return textstats.lang_id(_t(spark, sf_dir, "documents"))
+    return textstats.lang_id(_t_par(spark, sf_dir, "documents"))
 
 
 def _markers_sql(lang):
@@ -857,7 +885,7 @@ _WH = ("list_reduce(list_prepend(CAST(0 AS BIGINT), "
 
 
 def doc_fingerprint(spark, sf_dir):
-    return textstats.fingerprint(_t(spark, sf_dir, "documents"))
+    return textstats.fingerprint(_t_par(spark, sf_dir, "documents"))
 
 
 DOC_FINGERPRINT_SQL = f"""
@@ -873,7 +901,7 @@ FROM t
 # ================================================================== dedup ops
 def doc_dup_spans(spark, sf_dir):
     """Cross-document duplicated-span stats (substring-dedup approximation)."""
-    return dedup_ops.crossdoc_dup_spans(_t(spark, sf_dir, "documents"), n=8)
+    return dedup_ops.crossdoc_dup_spans(_t_par(spark, sf_dir, "documents"), n=8)
 
 
 DOC_DUP_SPANS_SQL = r"""
@@ -892,7 +920,7 @@ FROM d
 
 
 def doc_exact_dedup(spark, sf_dir):
-    return dedup_ops.exact_dedup(_t(spark, sf_dir, "documents"))
+    return dedup_ops.exact_dedup(_t_par(spark, sf_dir, "documents"))
 
 
 DOC_EXACT_DEDUP_SQL = """
@@ -906,7 +934,7 @@ _SHINGLES2 = ("CASE WHEN len(toks) >= 2 THEN "
 
 
 def doc_minhash_signatures(spark, sf_dir):
-    return dedup_ops.minhash_signatures(_t(spark, sf_dir, "documents"), k=4)
+    return dedup_ops.minhash_signatures(_t_par(spark, sf_dir, "documents"), k=4)
 
 
 DOC_MINHASH_SQL = f"""
@@ -923,7 +951,7 @@ FROM h
 
 
 def doc_simhash(spark, sf_dir):
-    return dedup_ops.simhash(_t(spark, sf_dir, "documents"), bits=16)
+    return dedup_ops.simhash(_t_par(spark, sf_dir, "documents"), bits=16)
 
 
 def _simhash_sql(bits: int = 16) -> str:
@@ -955,7 +983,7 @@ def doc_simhash_near_pairs(spark, sf_dir):
     60-bit simhash, 15-bit bands (32,768 values/band), so candidate buckets
     stay collision-bounded instead of capturing ~1/16 of the corpus each."""
     return dedup_ops.simhash_near_pairs(
-        _t(spark, sf_dir, "documents"), bits=60, bands=4, max_hamming=2
+        _t_par(spark, sf_dir, "documents"), bits=60, bands=4, max_hamming=2
     )
 
 
@@ -980,7 +1008,7 @@ def doc_ngram_jaccard(spark, sf_dir):
     self-join quadratic at scale — the cap is the design, mirrored exactly in
     the oracle's HAVING filter)."""
     return dedup_ops.ngram_jaccard_pairs(
-        _t(spark, sf_dir, "documents"), n=2, threshold=0.2, max_shingle_df=100
+        _t_par(spark, sf_dir, "documents"), n=2, threshold=0.2, max_shingle_df=100
     )
 
 
@@ -1005,7 +1033,7 @@ def doc_minhash_lsh_pairs(spark, sf_dir):
     verify bounded to the candidate set (cross-engine band hash => exact
     DuckDB oracle)."""
     return dedup_ops.minhash_lsh_pairs(
-        _t(spark, sf_dir, "documents"), k=8, bands=4, shingle_n=2, jaccard_threshold=0.2
+        _t_par(spark, sf_dir, "documents"), k=8, bands=4, shingle_n=2, jaccard_threshold=0.2
     )
 
 
@@ -1045,7 +1073,7 @@ WHERE n_common * 1.0 / (sa.n_sh + sb.n_sh - n_common) >= 0.2
 # ================================================================= similarity
 def emb_cosine_topk(spark, sf_dir):
     return similarity.cosine_topk(
-        _t(spark, sf_dir, "embeddings"), query_ids=list(range(10)), k=5
+        _t_par(spark, sf_dir, "embeddings"), query_ids=list(range(10)), k=5
     )
 
 
@@ -1067,7 +1095,7 @@ def emb_lsh_near_pairs(spark, sf_dir):
     are integer-derived and the dot products are explicit left folds in both
     engines, so the DuckDB twin is bit-reproducible."""
     return similarity.lsh_near_pairs(
-        _t(spark, sf_dir, "embeddings"), n_planes=6, dim=64, min_cosine=0.25
+        _t_par(spark, sf_dir, "embeddings"), n_planes=6, dim=64, min_cosine=0.25
     )
 
 
@@ -1083,7 +1111,7 @@ def emb_ivf_topk(spark, sf_dir):
     ids) + exact cosine top-k within the query's cell — the candidate join
     shuffles on the cell key instead of scanning the corpus per query."""
     return similarity.ivf_topk(
-        _t(spark, sf_dir, "embeddings"), query_ids=list(range(10)), n_cells=16, k=5
+        _t_par(spark, sf_dir, "embeddings"), query_ids=list(range(10)), n_cells=16, k=5
     )
 
 
@@ -1094,7 +1122,7 @@ def emb_ivf_topk_refined(spark, sf_dir):
     every dot product is exact int64 arithmetic and the DuckDB oracle
     unrolling the same 3 assignments + 2 updates matches bit-for-bit."""
     return similarity.ivf_topk(
-        _t(spark, sf_dir, "embeddings"), query_ids=list(range(10)),
+        _t_par(spark, sf_dir, "embeddings"), query_ids=list(range(10)),
         n_cells=16, k=5, refine_iters=2,
     )
 
@@ -1166,7 +1194,7 @@ def emb_ivf_topk_big(spark, sf_dir):
     corpus wants, literals would bloat every task's plan), same
     (sim, lowest-seed-id) rule, bit-identical to the SQL twin."""
     return similarity.ivf_topk(
-        _t(spark, sf_dir, "embeddings"), query_ids=list(range(10)),
+        _t_par(spark, sf_dir, "embeddings"), query_ids=list(range(10)),
         n_cells=128, k=5,
     )
 
@@ -1245,7 +1273,7 @@ def multimodal_media_meta(spark, sf_dir):
     oracle can recompute every field from doc_id exactly."""
     from .operators.multimodal import extract_media_meta
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t_par(spark, sf_dir, "documents")
     w = (F.col("doc_id") % 640 + 16).cast("bigint")
     h = ((F.col("doc_id") * 7) % 480 + 16).cast("bigint")
     hexstr = F.concat(
@@ -1279,7 +1307,7 @@ def multimodal_media_meta_mixed(spark, sf_dir):
     field is recomputable from doc_id, so the DuckDB twin is exact."""
     from .operators.multimodal import extract_media_meta
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t_par(spark, sf_dir, "documents")
     d = F.col("doc_id")
 
     def be(c, n):  # big-endian fixed-width hex of a nonneg integral column
@@ -1383,7 +1411,7 @@ def doc_url_canonical(spark, sf_dir):
     frag = F.when(d % 2 == 0, F.concat(F.lit("#Frag"), d.cast("string"))
                   ).otherwise(F.lit(""))
     messy = F.concat(scheme, F.lit("://"), host, port, path, query, frag)
-    docs = _t(spark, sf_dir, "documents").select("doc_id", messy.alias("url"))
+    docs = _t_par(spark, sf_dir, "documents").select("doc_id", messy.alias("url"))
     return docs.select("doc_id", "url",
                        canonicalize_url(F.col("url")).alias("canonical_url"))
 
@@ -1438,11 +1466,11 @@ def doc_dedup_groups(spark, sf_dir):
     The DuckDB twin computes the same transitive closure with a recursive
     CTE over the identical pair set."""
     pairs = dedup_ops.minhash_lsh_pairs(
-        _t(spark, sf_dir, "documents"), k=8, bands=4, shingle_n=2,
+        _t_par(spark, sf_dir, "documents"), k=8, bands=4, shingle_n=2,
         jaccard_threshold=0.2,
     )
     cc = dedup_ops.connected_components(pairs)
-    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    docs = _t_par(spark, sf_dir, "documents").select("doc_id")
     return (
         docs.join(cc, docs["doc_id"] == cc["node"], "left")
         .select(
@@ -1483,10 +1511,10 @@ def doc_embedding_near_dup(spark, sf_dir):
     corpus x corpus) and the component rounds are plain join+groupBy codegen.
     The DuckDB twin recomputes the identical plane projections / fold dot
     products and the transitive closure with a recursive CTE."""
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _t_par(spark, sf_dir, "embeddings")
     pairs = similarity.lsh_near_pairs(emb, n_planes=6, dim=64, min_cosine=0.25)
     cc = dedup_ops.connected_components(pairs)
-    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    docs = _t_par(spark, sf_dir, "documents").select("doc_id")
     return (
         docs.join(cc, docs["doc_id"] == cc["node"], "left")
         .select(
@@ -1529,7 +1557,7 @@ def multimodal_features(spark, sf_dir):
     same sums from the closed form via generate_series."""
     from .operators.multimodal import encode_png, encode_wav, media_content_stats
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    docs = _t_par(spark, sf_dir, "documents").select("doc_id")
 
     def synth(batches):
         import numpy as np

