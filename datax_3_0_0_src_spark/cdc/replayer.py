@@ -203,6 +203,10 @@ class Replayer:
         # behind executor-saturating write jobs (profiled: 1.2s -> 10s per
         # batch as the pipeline saturates; 26s of a 70s 8-core wall).
         self._epoch_df_cache: dict[int, DataFrame] = {}
+        # per-epoch [(file, min_offset, max_offset)] from the plan-time
+        # footer pass — drives per-slice FILE pruning (_slice_df). Written
+        # once by plan_batches (single-threaded), read-only under the pool.
+        self._epoch_file_stats: dict[int, list[tuple[str, int, int]]] = {}
         self._epoch_cache_lock = threading.Lock()
         if not cfg.dedup_per_batch and cfg.merge_mode != "mor":
             raise ValueError(
@@ -345,6 +349,7 @@ class Replayer:
         seq = self.cfg.seq_col
         lo = hi = None
         n = 0
+        fstats: list[tuple[str, int, int]] = []
         try:
             files = [f for f in sorted(os.listdir(p)) if f.endswith(".parquet")]
         except OSError:
@@ -359,28 +364,71 @@ class Replayer:
             except ValueError:
                 return None
             n += md.num_rows
+            flo = fhi = None
             for rg in range(md.num_row_groups):
                 col = md.row_group(rg).column(idx)
                 st = col.statistics
                 if st is None or not st.has_min_max:
                     return None
-                lo = st.min if lo is None else min(lo, st.min)
-                hi = st.max if hi is None else max(hi, st.max)
+                flo = st.min if flo is None else min(flo, st.min)
+                fhi = st.max if fhi is None else max(fhi, st.max)
+            if flo is not None:
+                fstats.append((os.path.join(p, fn), int(flo), int(fhi)))
+                lo = flo if lo is None else min(lo, flo)
+                hi = fhi if hi is None else max(hi, fhi)
         if lo is None:
             return None
+        # per-file offset ranges for slice-level FILE pruning (complete sets
+        # only): a rate-capped slice touches slice/epoch of the files; a
+        # per-batch scan built from just those files schedules zero no-op
+        # splits (the whole-epoch DF would dispatch epoch/slice times more
+        # tasks per job once splits are slice-sized — pure scheduler tax)
+        self._epoch_file_stats[epoch] = fstats
         return int(lo), int(hi), int(n)
 
-    def _tune_scan_splits(self, epoch: int) -> None:
-        """Size parquet splits so the epoch scan yields ~2 tasks per core.
+    def _slice_df(self, epoch: int, lo: int, hi: int) -> DataFrame | None:
+        """A DataFrame over ONLY the epoch files whose offset range overlaps
+        [lo, hi) — driver-side file pruning from the footer stats gathered at
+        plan time. None when stats are unavailable (foreign writer) — the
+        caller falls back to the whole-epoch DF + predicate. Uses the
+        memoized epoch DF's schema: no listing job, no footer re-inference."""
+        fstats = self._epoch_file_stats.get(epoch)
+        if not fstats:
+            return None
+        files = [p for p, flo, fhi in fstats if fhi >= lo and flo < hi]
+        if not files:
+            return None
+        schema = self.read_epoch(epoch).drop("epoch").schema
+        return self.spark.read.schema(schema).parquet(*files)
 
-        The scan stage CARRIES the Arrow extract pipeline (extraction is
-        scan-side by design, BENCH.md finding #2), so scan parallelism bounds
-        the whole batch. A WAL segment of small files packs into very few
-        128 MB-default splits (measured: a 114 MB epoch of 64 files became 3
-        tasks — the 8->32-core plateau). Driver-side listing is metadata-only;
-        the [4 MB, 128 MB] clamp keeps the setting sane at both sandbox and
-        100 TB scale (at 10^8-event epochs the computed target saturates at
-        the 128 MB default)."""
+    def _split_target(self, sizes: list[tuple[int, int]]) -> int | None:
+        """maxPartitionBytes for this run's scans, from (bytes, rows) per
+        pending epoch.
+
+        The unit that must go wide is the rate-capped SLICE, not the epoch:
+        with a 2M-event cap on a 32M-event epoch, epoch-size/(2*par) splits
+        hand each batch's map stage only slice/epoch of the cores (measured:
+        ~4 real scan tasks per batch at 32 cores — the round-6 verdict's 0.63
+        cpu_frac). Size splits so ONE SLICE yields ~par row-group-aligned
+        splits; non-slice row groups prune via offset stats inside their
+        tasks (footer-only, ~ms), so the extra scheduled splits per epoch
+        cost microseconds each while every batch's scan+shuffle-write map
+        stage runs full-width. The [4 MB, 128 MB] clamp keeps the setting
+        sane at 100 TB (10^8-event slices saturate at the 128 MB default)."""
+        tot_b = sum(b for b, _ in sizes)
+        tot_r = sum(r for _, r in sizes)
+        if not tot_b:
+            return None
+        cap = self.cfg.max_events_per_batch
+        par = self.spark.sparkContext.defaultParallelism
+        slice_b = max(s for s, _ in sizes)  # whole-epoch batches
+        if cap and tot_r:
+            slice_b = min(slice_b, int(cap * (tot_b / tot_r)))
+        return min(max(slice_b // par, 4 << 20), 128 << 20)
+
+    def _epoch_bytes_rows(self, epoch: int) -> tuple[int, int] | None:
+        """(total bytes, total rows) of an epoch dir — driver-side metadata.
+        Row counts ride the same footer pass plan_batches already does."""
         p = self._epoch_path(epoch)
         try:
             size = sum(
@@ -388,10 +436,19 @@ class Replayer:
                 for f in os.listdir(p) if f.endswith(".parquet")
             )
         except OSError:
+            return None
+        stats = self._epoch_stats_from_footers(epoch)
+        return size, (stats[2] if stats else 0)
+
+    def _tune_scan_splits(self, epoch: int) -> None:
+        """Size parquet splits so each rate-capped slice scans ~par-wide
+        (see _split_target). Driver-side listing is metadata-only."""
+        br = self._epoch_bytes_rows(epoch)
+        if br is None:
             return
-        par = self.spark.sparkContext.defaultParallelism
-        target = min(max(size // (par * 2), 4 << 20), 128 << 20)
-        self.spark.conf.set("spark.sql.files.maxPartitionBytes", str(target))
+        target = self._split_target([br])
+        if target:
+            self.spark.conf.set("spark.sql.files.maxPartitionBytes", str(target))
 
     def read_epoch(self, epoch: int) -> DataFrame:
         """One WAL segment; its files' own schema (=> additive evolution
@@ -643,23 +700,16 @@ class Replayer:
         return results
 
     def _freeze_scan_splits(self, epochs: list[int]) -> None:
-        """Concurrent mode: size splits once from the largest pending epoch
-        and pin them (spark.conf is session-global — per-batch re-tuning
-        would race across planner threads)."""
-        sizes = []
-        for e in set(epochs):
-            p = self._epoch_path(e)
-            try:
-                sizes.append(sum(
-                    os.path.getsize(os.path.join(p, f))
-                    for f in os.listdir(p) if f.endswith(".parquet")
-                ))
-            except OSError:
-                continue
+        """Concurrent mode: size splits once for the whole run and pin them
+        (spark.conf is session-global — per-batch re-tuning would race
+        across planner threads). Slice-aware: see _split_target."""
+        sizes = [br for e in set(epochs)
+                 if (br := self._epoch_bytes_rows(e)) is not None]
         if sizes:
-            par = self.spark.sparkContext.defaultParallelism
-            target = min(max(max(sizes) // (par * 2), 4 << 20), 128 << 20)
-            self.spark.conf.set("spark.sql.files.maxPartitionBytes", str(target))
+            target = self._split_target(sizes)
+            if target:
+                self.spark.conf.set(
+                    "spark.sql.files.maxPartitionBytes", str(target))
         self._split_frozen = True
 
     def _run_batch(
@@ -690,10 +740,16 @@ class Replayer:
         tl: dict = {"batch": batch_id, "t0": t0}
         from .fused import apply_fused, read_slice_stats
 
-        ev = self.read_epoch(epoch).drop("epoch")
-        tl["read_epoch_s"] = time.monotonic() - t0
         if lo is not None:
+            # file-pruned slice scan (offset predicate still applied — file
+            # ranges overlap at boundaries); falls back to the epoch DF
+            ev = self._slice_df(epoch, lo, hi)
+            if ev is None:
+                ev = self.read_epoch(epoch).drop("epoch")
             ev = ev.filter((F.col(cfg.seq_col) >= lo) & (F.col(cfg.seq_col) < hi))
+        else:
+            ev = self.read_epoch(epoch).drop("epoch")
+        tl["read_epoch_s"] = time.monotonic() - t0
         nb = self.table.num_buckets
         bucket = F.when(
             F.col(cfg.key).isNull(), F.lit(-1)
@@ -827,11 +883,16 @@ class Replayer:
         if cfg.single_pass:
             return self._run_batch_fused(batch_id, epoch, sub, lo, hi)
         t0 = time.monotonic()
-        ev = self.read_epoch(epoch)
         if lo is not None:
-            # rate cap: offset-range slice (predicate pushed to parquet scan);
-            # bounds were planned once in plan_batches — no per-batch jobs here
+            # rate cap: offset-range slice — file-pruned scan when footer
+            # stats exist (predicate still applied; file ranges overlap at
+            # boundaries), else the epoch DF with pushdown only
+            sliced = self._slice_df(epoch, lo, hi)
+            ev = (sliced.withColumn("epoch", F.lit(epoch))
+                  if sliced is not None else self.read_epoch(epoch))
             ev = ev.filter((F.col(cfg.seq_col) >= lo) & (F.col(cfg.seq_col) < hi))
+        else:
+            ev = self.read_epoch(epoch)
 
         nb = self.table.num_buckets  # the table's persisted count, NOT cfg's
         bucket = F.when(
