@@ -322,24 +322,35 @@ def simhash(df: DataFrame, *, id_col: str = "doc_id", text_col: str = "text", bi
     ~30 bits — raw bits above that are constant zero (which would make every
     doc collide in the high bands and send the candidate join quadratic).
     The re-hash gives every simhash bit full entropy at any width; identical
-    token multisets still hash identically. Cross-engine integer math."""
+    token multisets still hash identically. Cross-engine integer math.
+
+    Physical shape (round 7): explode to (id, token_hash) rows — the
+    interpreted per-char rolling hash runs ONCE per token — then one
+    CODEGEN'D hash aggregation computes all ``bits`` bit sums as sum(CASE)
+    columns with map-side partial combine. The previous form built ``bits``
+    separate F.aggregate HOF columns over the same hashed array; Spark 4.1
+    HOF lambdas are interpreted (CodegenFallback, no common-subexpression
+    elimination across columns), so the whole token-hash array was
+    re-evaluated once PER BIT. Null/absent text still yields simhash 0 (the
+    per-row terms go null via explode_outer + the null-guarded CASE, so the
+    summed bit weights stay null => every bit falls to its 0 branch —
+    exactly the old aggregate-over-null semantics)."""
     toks = F.split(F.trim(F.col(text_col)), r"\s+")
     hashed = F.transform(toks, word_hash_expr)
-
-    def bit_sum(b):
-        a, c = simhash_bit_params(b)
-        return lambda acc, h: acc + F.when(
-            ((h * a + c) % FP_MOD) % 2 == 1, 1
-        ).otherwise(-1)
-
-    bit_vals = []
+    h = df.select(F.col(id_col), F.explode_outer(hashed).alias("_h"))
+    aggs = []
     for b in range(bits):
-        w = F.aggregate(hashed, F.lit(0).cast("long"), bit_sum(b))
-        bit_vals.append(F.when(w > 0, F.lit(2 ** b)).otherwise(F.lit(0)).cast("long"))
-    sim = bit_vals[0]
-    for bv in bit_vals[1:]:
-        sim = sim + bv
-    return df.select(F.col(id_col), sim.alias("simhash"))
+        a, c = simhash_bit_params(b)
+        term = (F.when(((F.col("_h") * a + c) % FP_MOD) % 2 == 1, 1)
+                .when(F.col("_h").isNotNull(), -1))
+        aggs.append(F.sum(term).alias(f"w{b}"))
+    sums = h.groupBy(id_col).agg(*aggs)
+    sim = None
+    for b in range(bits):
+        bv = (F.when(F.col(f"w{b}") > 0, F.lit(2 ** b))
+              .otherwise(F.lit(0)).cast("long"))
+        sim = bv if sim is None else sim + bv
+    return sums.select(F.col(id_col), sim.alias("simhash"))
 
 
 class ComponentsNotConverged(RuntimeError):
