@@ -79,23 +79,25 @@ def _extract_text_pd_slow(html: pd.Series) -> pd.Series:
     return out
 
 
-def extract_text_pd(html: pd.Series) -> pd.Series:
-    """Vectorized extraction over a pandas Series of html bytes (or None).
+def extract_text_arrow(arr):
+    """Arrow-native extraction over a pa.Array of html bytes (round 7).
 
-    Semantics are exactly ``_extract_text_pd_slow``'s; conforming rows are
-    computed by the guarded Arrow/RE2 fast path (see _FAST_STRUCT_RE above),
-    the rest by the reference implementation."""
+    Same guarded fast path as :func:`extract_text_pd`, but input AND output
+    stay Arrow — zero pandas-object materialization for conforming rows
+    (the arrow_udf fused stage feeds whole record batches through here).
+    Nonconforming rows (non-ASCII, foreign structure, invalid UTF-8) fall
+    back to the reference pandas implementation for just those rows."""
     import numpy as np
     import pyarrow as pa
     import pyarrow.compute as pc
 
-    if len(html) == 0:
-        return _extract_text_pd_slow(html)
+    if len(arr) == 0:
+        return pa.array([], type=pa.string())
     try:
-        arr = pa.Array.from_pandas(html, type=pa.binary())
         s = arr.cast(pa.string())  # raises on invalid UTF-8 -> full fallback
     except (pa.ArrowInvalid, pa.ArrowTypeError, pa.ArrowNotImplementedError):
-        return _extract_text_pd_slow(html)
+        return pa.Array.from_pandas(
+            _extract_text_pd_slow(arr.to_pandas()), type=pa.string())
     st = pc.extract_regex(s, pattern=_FAST_STRUCT_RE)
     ok = pc.and_kleene(pc.is_valid(st), pc.string_is_ascii(s))
     ok_np = pc.fill_null(ok, False).to_numpy(zero_copy_only=False)
@@ -107,12 +109,36 @@ def extract_text_pd(html: pd.Series) -> pd.Series:
     # either side is empty — ascii trim == str.strip() on ASCII-only input
     joined = pc.ascii_trim_whitespace(
         pc.binary_join_element_wise(title, body, "\n"))
-    out = pd.Series(joined.to_pandas(), dtype="object")
-    out.index = html.index
-    out[null_np] = None
     slow_np = ~(ok_np | null_np)
-    if slow_np.any():
-        out[slow_np] = _extract_text_pd_slow(html[slow_np])
+    if not slow_np.any():
+        return pc.if_else(pa.array(null_np), pa.scalar(None, pa.string()),
+                          joined)
+    # rare path: patch slow rows through the reference implementation
+    out = joined.to_pandas().astype("object")
+    out[null_np] = None
+    idx = np.flatnonzero(slow_np)
+    out.iloc[idx] = _extract_text_pd_slow(
+        arr.take(pa.array(idx)).to_pandas()).to_numpy()
+    return pa.Array.from_pandas(out, type=pa.string())
+
+
+def extract_text_pd(html: pd.Series) -> pd.Series:
+    """Vectorized extraction over a pandas Series of html bytes (or None).
+
+    Semantics are exactly ``_extract_text_pd_slow``'s; conforming rows are
+    computed by the guarded Arrow/RE2 fast path (see _FAST_STRUCT_RE above,
+    shared with :func:`extract_text_arrow`), the rest by the reference
+    implementation."""
+    import pyarrow as pa
+
+    if len(html) == 0:
+        return _extract_text_pd_slow(html)
+    try:
+        arr = pa.Array.from_pandas(html, type=pa.binary())
+    except (pa.ArrowInvalid, pa.ArrowTypeError, pa.ArrowNotImplementedError):
+        return _extract_text_pd_slow(html)
+    out = pd.Series(extract_text_arrow(arr).to_pandas(), dtype="object")
+    out.index = html.index
     return out
 
 

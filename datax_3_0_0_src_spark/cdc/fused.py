@@ -5,9 +5,11 @@ The classic pipeline runs TWO full scans of every micro-batch — one job for
 the dirty-record quarantine (reads the whole ``html`` column to tag validity
 and carry raw payloads) and one for the extract→merge write. At 10^10 events
 the WAL is read twice and the driver plans/dispatches two jobs per batch. This
-module collapses them: an **iterator-form pandas_udf** (Arrow-batched, no
-per-row Python — the engine's sanctioned vectorized path) rides the single
-scan and
+module collapses them: an **iterator-form arrow_udf** (Spark 4.1 Arrow-native
+scalar UDF — batches arrive and return as pa.Array, zero pandas-object
+materialization; the round-7 upgrade of the previous pandas_udf, which built
+~8M Python objects per 2M-row batch across its four string/binary input
+columns) rides the single scan and
 
 - extracts ``text`` for valid non-delete rows (the byte-identical invariant —
   same ``extract_text_pd`` as the two-job path); validation itself stays
@@ -23,10 +25,11 @@ scan and
   previous run's stale task files can't pollute counts).
 
 The scalar-iterator form matters: only the requested input columns cross into
-Python and only the narrow ``text`` series returns — the wide ``html``
-payload crosses once, inbound (a ``mapInPandas`` variant would round-trip
-every byte of html through Arrow twice). The generator shape gives the
-end-of-task flush point that a plain scalar pandas_udf lacks.
+Python and only the narrow ``text`` array returns — the wide ``html``
+payload crosses once, inbound (a ``mapInArrow`` variant was measured 29%
+SLOWER at the compute-bound 8-core level because every passthrough column
+round-trips through the boundary both ways). The generator shape gives the
+end-of-task flush point that a plain scalar udf lacks.
 
 Reference parity: this is DataX's single-pass record path — reader ->
 transformer chain -> TaskPluginCollector.collectDirtyRecord -> writer, one
@@ -47,15 +50,15 @@ from __future__ import annotations
 import json
 import os
 import uuid
-from typing import Iterator
+from typing import Iterator, Tuple
 
-import pandas as pd
+import pyarrow as pa
 
 from pyspark.sql import Column, DataFrame, functions as F
-from pyspark.sql.functions import pandas_udf
+from pyspark.sql.functions import arrow_udf
 
 from ..lake.table import SYS_BUCKET
-from .extract import extract_text_pd
+from .extract import extract_text_arrow
 
 RESULT_DDL = "string"
 
@@ -109,73 +112,65 @@ def fused_result_col(
 ) -> Column:
     """The ``text`` column evaluated by the fused stage.
 
-    Apply to a DataFrame that already carries ``SYS_BUCKET``, ``_reason``
+    Apply to a DataFrame that already carries ``SYS_BUCKET`` and ``_reason``
     (JVM-computed ``quarantine.reason_col`` — validation stays codegen'd
     JVM work; the Python stage is the batch's critical resource and gets
-    ONLY the extraction), and ``_blen`` (``octet_length(html)``). Filter on
-    ``_reason`` AFTER this projection — Catalyst cannot push a predicate
+    ONLY the extraction). Filter on ``_reason`` AFTER this projection — Catalyst cannot push a predicate
     through a projection containing a nondeterministic expression, so the
     udf is guaranteed to see every row (dirty ones included) exactly once."""
 
-    @pandas_udf(RESULT_DDL)
+    @arrow_udf(RESULT_DDL)
     def _fused(
-        it: Iterator[
-            tuple[pd.Series, pd.Series, pd.Series, pd.Series, pd.Series, pd.Series, pd.Series]
-        ]
-    ) -> Iterator[pd.Series]:
-        import pyarrow as pa
+        it: Iterator[Tuple[pa.Array, pa.Array, pa.Array,
+                           pa.Array, pa.Array, pa.Array]]
+    ) -> Iterator[pa.Array]:
+        import numpy as np
+        import pyarrow.compute as pc
         from pyspark import TaskContext
 
         pid = TaskContext.get().partitionId()
         events_read = 0
         bytes_in = 0
-        dirty_parts: list[pd.DataFrame] = []
-        for url, html, op, seq, bucket, reason, blen in it:
+        n_dirty = 0
+        by_bucket: dict[int, int] = {}
+        dirty_parts: list = []
+        for url, html, op, seq, bucket, reason in it:
             events_read += len(url)
-            bytes_in += int(blen.fillna(0).sum())
-            dirty = reason.notna()
-            if dirty.any():
-                d = dirty.to_numpy(dtype=bool)
-                dirty_parts.append(
-                    pd.DataFrame(
-                        {
-                            # nullable Int64: a foreign WAL may carry null
-                            # offsets on exactly the rows that are dirty
-                            "log_offset": seq[d].astype("Int64"),
-                            "url": url[d],
-                            "reason": reason[d],
-                            "raw_payload": html[d],
-                            "bucket": bucket[d].astype("int32"),
-                        }
-                    )
-                )
+            bytes_in += int(pc.sum(pc.binary_length(html)).as_py() or 0)
+            dirty = pc.fill_null(pc.is_valid(reason), False)
+            any_dirty = pc.any(dirty).as_py()
+            if any_dirty:
+                db = bucket.filter(dirty).cast("int32")
+                for bk, n in zip(*np.unique(
+                        db.to_numpy(zero_copy_only=False), return_counts=True)):
+                    by_bucket[int(bk)] = by_bucket.get(int(bk), 0) + int(n)
+                n_dirty += len(db)
+                dirty_parts.append(pa.table(
+                    {
+                        # nullable int64: a foreign WAL may carry null
+                        # offsets on exactly the rows that are dirty
+                        "log_offset": seq.filter(dirty).cast("int64"),
+                        "epoch": pa.array([epoch] * len(db), "int32"),
+                        "url": url.filter(dirty).cast("string"),
+                        "reason": reason.filter(dirty).cast("string"),
+                        "raw_payload": html.filter(dirty).cast("binary"),
+                        "bucket": db,
+                    },
+                    schema=_dirty_schema(),
+                ))
             # tombstones carry no payload: null html => null text, exactly as
-            # the classic path's when(is_del, NULL) before extraction
-            is_del = (op == delete_op).to_numpy(dtype=bool)
-            text = extract_text_pd(html.where(~(is_del | dirty.to_numpy()), None))
-            yield text
+            # the classic path's when(is_del, NULL) before extraction; dirty
+            # rows are filtered downstream, their text is never read
+            drop = pc.or_(pc.fill_null(pc.equal(op, delete_op), False), dirty)
+            masked = pc.if_else(drop, pa.scalar(None, html.type), html)
+            yield extract_text_arrow(masked)
 
         # ---- end-of-task flush: side-write dirty rows + this task's stats
         os.makedirs(os.path.join(slice_dir, "_stats"), exist_ok=True)
-        n_dirty = 0
-        by_bucket: dict[int, int] = {}
         if dirty_parts:
-            d = pd.concat(dirty_parts, ignore_index=True)
-            n_dirty = len(d)
-            vc = d["bucket"].value_counts()
-            by_bucket = {int(b): int(n) for b, n in vc.items()}
-            t = pa.table(
-                {
-                    "log_offset": pa.array(d["log_offset"], "int64"),
-                    "epoch": pa.array([epoch] * n_dirty, "int32"),
-                    "url": pa.array(d["url"], "string"),
-                    "reason": pa.array(d["reason"], "string"),
-                    "raw_payload": pa.array(d["raw_payload"], "binary"),
-                    "bucket": pa.array(d["bucket"], "int32"),
-                },
-                schema=_dirty_schema(),
-            )
-            _atomic_parquet(t, os.path.join(slice_dir, f"part-{pid:05d}.parquet"))
+            _atomic_parquet(
+                pa.concat_tables(dirty_parts),
+                os.path.join(slice_dir, f"part-{pid:05d}.parquet"))
         stats = pa.table(
             {
                 "task": pa.array([pid], "int32"),
@@ -197,7 +192,7 @@ def fused_result_col(
     # test_fused_single_python_eval_in_plan).
     return _fused.asNondeterministic()(
         F.col(key), F.col("html"), F.col(op_col), F.col(seq_col),
-        F.col(SYS_BUCKET), F.col("_reason"), F.col("_blen"),
+        F.col(SYS_BUCKET), F.col("_reason"),
     )
 
 
@@ -226,11 +221,10 @@ def apply_fused(
     is_del = F.col(op_col) == F.lit(delete_op)
     out = (
         df.withColumn("_reason", (reason_fn or reason_col)(op_col, delete_op))
-        .withColumn("_blen", F.octet_length("html"))
         .withColumn("text", res)
         .filter(F.col("_reason").isNull())
         .withColumn("html", F.when(is_del, None).otherwise(F.col("html")))
-        .drop("_reason", "_blen")
+        .drop("_reason")
     )
     return out
 
