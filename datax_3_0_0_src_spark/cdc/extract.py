@@ -18,8 +18,9 @@ exact expected strings so both can't drift together unnoticed.
 from __future__ import annotations
 
 import pandas as pd
+import pyarrow as pa
 from pyspark.sql import functions as F
-from pyspark.sql.functions import pandas_udf
+from pyspark.sql.functions import arrow_udf
 from pyspark.sql.types import StringType
 
 _TITLE_RE = r"<title[^>]*>(.*?)</title>"
@@ -142,9 +143,9 @@ def extract_text_pd(html: pd.Series) -> pd.Series:
     return out
 
 
-@pandas_udf(StringType())
-def extract_text_udf(html: pd.Series) -> pd.Series:
-    return extract_text_pd(html)
+@arrow_udf(StringType())
+def extract_text_udf(html: pa.Array) -> pa.Array:
+    return extract_text_arrow(html)
 
 
 def with_extracted_text(df, html_col: str = "html", out_col: str = "text"):
