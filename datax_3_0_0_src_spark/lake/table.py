@@ -42,6 +42,7 @@ import uuid
 from dataclasses import dataclass
 
 import pandas as pd  # module-level: pandas_udf type hints must resolve here
+import pyarrow as pa  # module-level: arrow_udf type hints must resolve here
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.types import (
@@ -341,7 +342,7 @@ class LakeTable:
         ``_metadata.row_index`` (within-file row ordinal), matching the DV
         fold's within-file positions exactly.
         """
-        from pyspark.sql.functions import pandas_udf
+        from pyspark.sql.functions import arrow_udf, pandas_udf
 
         # {bucket: (dv sidecar paths...)} — the per-bucket sidecar path is
         # tiny driver-side metadata; the POSITIONS are only ever read
@@ -383,15 +384,18 @@ class LakeTable:
             b = int(re.search(rf"{SYS_BUCKET}=(-?\d+)/", r["f"]).group(1))
             by_hash[int(r["h"])] = (r["f"], dv_by_bucket.get(b, ()))
         if scan_files is not None and len(by_hash) == len(snap_rels):
-            @pandas_udf("boolean")
-            def _dv_keep_h(fh: pd.Series, pos: pd.Series) -> pd.Series:
+            @arrow_udf("boolean")
+            def _dv_keep_h(fh: pa.Array, pos: pa.Array) -> pa.Array:
+                # arrow_udf (round 7): the two int64 inputs and the boolean
+                # output stay Arrow/numpy end to end — no pandas wrappers on
+                # the read hot path
                 import numpy as np
 
                 from datax_3_0_0_src_spark.lake import table as _tbl
 
                 keep = np.ones(len(fh), dtype=bool)
-                pos_np = pos.to_numpy()
-                fh_np = fh.to_numpy()
+                pos_np = pos.to_numpy(zero_copy_only=False)
+                fh_np = fh.to_numpy(zero_copy_only=False)
                 for h in np.unique(fh_np):  # ~1 unique per arrow batch
                     ent = by_hash.get(int(h))
                     if ent is None or not ent[1]:
@@ -405,7 +409,7 @@ class LakeTable:
                     idx = np.searchsorted(dv_pos, p)
                     idx_c = np.minimum(idx, len(dv_pos) - 1)
                     keep[rows] = ~((idx < len(dv_pos)) & (dv_pos[idx_c] == p))
-                return pd.Series(keep)
+                return pa.array(keep)
 
             return scan.filter(
                 _dv_keep_h(F.xxhash64(rel), F.col("_metadata.row_index")))
