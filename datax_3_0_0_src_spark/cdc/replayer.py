@@ -356,26 +356,40 @@ class Replayer:
             return None
         if not files:
             return None
-        for fn in files:
+
+        def file_stats(fn: str) -> tuple[str, int, int, int] | None:
             md = pq.ParquetFile(os.path.join(p, fn)).metadata
             names = [md.schema.column(i).name for i in range(md.num_columns)]
             try:
                 idx = names.index(seq)
             except ValueError:
                 return None
-            n += md.num_rows
             flo = fhi = None
             for rg in range(md.num_row_groups):
-                col = md.row_group(rg).column(idx)
-                st = col.statistics
+                st = md.row_group(rg).column(idx).statistics
                 if st is None or not st.has_min_max:
                     return None
                 flo = st.min if flo is None else min(flo, st.min)
                 fhi = st.max if fhi is None else max(fhi, st.max)
-            if flo is not None:
-                fstats.append((os.path.join(p, fn), int(flo), int(fhi)))
-                lo = flo if lo is None else min(lo, flo)
-                hi = fhi if hi is None else max(hi, fhi)
+            if flo is None:
+                return None
+            return os.path.join(p, fn), int(flo), int(fhi), int(md.num_rows)
+
+        # footer opens are tiny I/O-bound metadata reads but they add up
+        # SERIALLY at plan time (hundreds of files x row groups, before any
+        # executor can work) — a small thread pool cuts this serial floor
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=min(8, len(files))) as pool:
+            per_file = list(pool.map(file_stats, files))
+        for fs in per_file:
+            if fs is None:
+                return None
+            path, flo, fhi, rows = fs
+            n += rows
+            fstats.append((path, flo, fhi))
+            lo = flo if lo is None else min(lo, flo)
+            hi = fhi if hi is None else max(hi, fhi)
         if lo is None:
             return None
         # per-file offset ranges for slice-level FILE pruning (complete sets
