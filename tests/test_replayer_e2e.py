@@ -324,3 +324,46 @@ def test_throughput_profile_clean_resume_evolution_fold(spark, tmp_path):
         **THROUGHPUT_PROFILE))
     assert rep3.run() == []
     assert_state_matches(rep3, gcfg)
+
+
+def test_slice_file_pruning_parity_and_prunes(spark, tmp_path):
+    """Round-7 slice-wide scans: a rate-capped replay whose batches read
+    file-pruned slice DataFrames (_slice_df) must produce state identical to
+    the whole-epoch path, and the pruned scan must actually select a strict
+    subset of the epoch's files (plan-time footer stats drive it)."""
+    import shutil
+
+    from datax_3_0_0_src_spark.cdc.replayer import THROUGHPUT_PROFILE
+
+    cfg = EventGenConfig(seed=7, n_events=8_000, events_per_epoch=4_000)
+    log_dir = str(tmp_path / "wal")
+    write_event_log(spark, cfg, log_dir, slices=8)
+
+    def run(cap, sub):
+        base = str(tmp_path / sub)
+        shutil.rmtree(base, ignore_errors=True)
+        rep = Replayer(spark, ReplayConfig(
+            log_dir=log_dir, table_path=base + "/pages",
+            work_dir=base + "/work", num_buckets=8,
+            **dict(THROUGHPUT_PROFILE, max_events_per_batch=cap)))
+        rep.run()
+        return rep
+
+    sliced = run(1_000, "sliced")      # 8 slices across 2 epochs -> pruning
+    whole = run(None, "whole")         # no cap -> whole-epoch DFs, no pruning
+
+    # byte-identical final state
+    a = sliced.table.read().toPandas().sort_values("url").reset_index(drop=True)
+    b = whole.table.read().toPandas().sort_values("url").reset_index(drop=True)
+    assert list(a["url"]) == list(b["url"])
+    assert list(a["text"]) == list(b["text"])
+
+    # the footer stats were harvested and a mid-epoch slice really prunes:
+    # epoch 0 holds offsets [0, 4000) over 4 files (8 range slices split
+    # across 2 epochs), so a 1000-offset slice must read < all files
+    fstats = sliced._epoch_file_stats.get(0)
+    assert fstats, "plan-time footer stats missing"
+    df = sliced._slice_df(0, 1_000, 2_000)
+    assert df is not None
+    n_files = len(df.inputFiles())
+    assert 0 < n_files < len(fstats), (n_files, len(fstats))
